@@ -1,0 +1,62 @@
+"""Quadrature FM discriminator (jnp, TPU-friendly).
+
+Equivalent of fmDemod (src/matrix.c:159-176): for each non-overlapping pair
+of complex samples (a+bi, c+di):
+
+    zr = a*c + b*d ;  zj = -a*d + b*c ;  out = atan2(zj, zr), NaN → 0
+
+decimating 2 complex → 1 real.  ``fast=True`` swaps XLA's atan2 for an odd
+polynomial approximation (max abs error ≈ 2e-7 rad — far below the 60 dB
+acceptance bar), which avoids the transcendental unit and fuses better.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fm_demod", "atan2_fast"]
+
+# least-squares fit on Chebyshev nodes of (atan(z) - z)/z^3 in u = z^2 on
+# [0, 1]; max abs error of the full approximation ~1e-8 rad (f64), bounded by
+# f32 rounding (~1e-7) in practice.  Verified against jnp.arctan2 in tests.
+_ATAN_COEFFS = (
+    -3.3333331954e-01,
+    1.9999766157e-01,
+    -1.4279113133e-01,
+    1.1038008221e-01,
+    -8.6732173319e-02,
+    6.2844487678e-02,
+    -3.6271120349e-02,
+    1.3750824816e-02,
+    -2.4471584023e-03,
+)
+
+
+def atan2_fast(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Polynomial atan2 on the VPU: octant reduction + odd poly on [0,1]."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.where(hi == 0, 1.0, hi)
+    z2 = z * z
+    p = _ATAN_COEFFS[-1]
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * z2 + c
+    at = z + z * z2 * p
+    # undo the min/max swap, then quadrant fixup
+    at = jnp.where(ay > ax, jnp.float32(jnp.pi / 2) - at, at)
+    at = jnp.where(x < 0, jnp.float32(jnp.pi) - at, at)
+    at = jnp.where(y < 0, -at, at)
+    # atan2(0, 0) = 0 like libm
+    return jnp.where((ax == 0) & (ay == 0), 0.0, at)
+
+
+def fm_demod(x: jax.Array, fast: bool = False) -> jax.Array:
+    """x: [..., L] interleaved reals (L % 4 == 0) → [..., L/4] audio."""
+    q = x.reshape(*x.shape[:-1], x.shape[-1] // 4, 4)
+    a, b, c, d = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    zr = a * c + b * d
+    zj = -a * d + b * c
+    out = atan2_fast(zj, zr) if fast else jnp.arctan2(zj, zr)
+    return jnp.where(jnp.isnan(out), 0.0, out)

@@ -4,8 +4,12 @@ import os
 import subprocess
 import sys
 
-# Must happen before any jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any jax import anywhere in the test session.  The axon
+# sitecustomize registers the remote-TPU backend for every process when
+# PALLAS_AXON_POOL_IPS is set and overrides platform selection; drop it so
+# tests run hermetically on a virtual 8-device CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
