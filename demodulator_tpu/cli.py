@@ -1,0 +1,110 @@
+"""Reference-compatible command line front end.
+
+Replicates the reference's getopt loop (src/main.c:125-183) so the README
+pipelines run verbatim against this binary:
+
+    demodulator-tpu -i file|- -o file|- [-L -l -S -D -d -e -m -b -c -q]
+
+Quirks preserved: an -i/-o argument CONTAINING '-' selects stdin/stdout
+(the reference uses strstr, src/main.c:127-142); -e is divided by 10; -r/-n
+are accepted and ignored; -b shifts DEFAULT_BUF_SIZE.
+
+Framework extensions use long options (never colliding with the reference's
+short ones): --profile compat|continuous, --precision float32|float64,
+--fast-atan2, --tail drop|pad, --verbose-design, --bench.
+"""
+from __future__ import annotations
+
+import sys
+
+from .config import DemodConfig, config_from_cli_opts
+
+SHORT_OPTS = "i:o:r:L:l:S:D:d:e:m:b:c:q:n:"
+
+
+def parse_args(argv):
+    """getopt-style parse → (opts dict, extras dict).  Unknown short options
+    are ignored like the reference's default case."""
+    takes_arg = {SHORT_OPTS[i]: True for i in range(0, len(SHORT_OPTS), 2)}
+    opts: dict = {}
+    extras = {"profile": "compat", "precision": "float32", "fast_atan2": False,
+              "tail": None, "verbose_design": False}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--fast-atan2":
+            extras["fast_atan2"] = True
+        elif a == "--verbose-design":
+            extras["verbose_design"] = True
+        elif a in ("--profile", "--precision", "--tail"):
+            i += 1
+            extras[a[2:].replace("-", "_")] = argv[i]
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a}")
+        elif a.startswith("-") and len(a) >= 2 and a[1] in takes_arg:
+            key = a[1]
+            if len(a) > 2:
+                opts[key] = a[2:]
+            else:
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit(f"option -{key} requires an argument")
+                opts[key] = argv[i]
+        # unknown single-dash options fall through silently (getopt default:)
+        i += 1
+    return opts, extras
+
+
+def _dump_design(cfg: DemodConfig):
+    """--verbose-design: print the SOS tables like the reference's VERBOSE
+    build (src/filter.c:160-204) for A/B comparison."""
+    import numpy as np
+    from .design.biquad import design_sos
+    def show(tag, mode, degree, fc):
+        sos = np.asarray(design_sos(mode, degree, fc, cfg.sample_rate,
+                                    cfg.epsilon, dtype=np.float64))
+        print(f"\n{tag}: mode={mode} degree={degree} fc={fc} "
+              f"fs={cfg.sample_rate}", file=sys.stderr)
+        for row in sos:
+            print(" ".join(f"{v:.6f}" for v in row), file=sys.stderr)
+    show("out", cfg.out_filter_family(), cfg.out_filter_degree, cfg.lowpass_out)
+    if cfg.lowpass_in:
+        show("in", cfg.in_filter_family(), cfg.effective_in_filter_degree(),
+             cfg.lowpass_in)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return -1
+    opts, extras = parse_args(argv)
+    cfg = config_from_cli_opts(opts)
+    cfg.profile = extras["profile"]
+    cfg.precision = extras["precision"]
+    cfg.validate()
+
+    if extras["verbose_design"]:
+        _dump_design(cfg)
+
+    # -i / -o: any argument containing '-' means stdin/stdout (strstr quirk)
+    iarg, oarg = opts.get("i"), opts.get("o")
+    if iarg is None or oarg is None:
+        print("both -i and -o are required", file=sys.stderr)
+        return -1
+    fin = sys.stdin.buffer if "-" in iarg else open(iarg, "rb")
+    fout = sys.stdout.buffer if "-" in oarg else open(oarg, "wb")
+    try:
+        from .runtime.stream import StreamProcessor
+        proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"])
+        proc.run(fin, fout, tail_policy=extras["tail"])
+    finally:
+        if fin is not sys.stdin.buffer:
+            fin.close()
+        if fout is not sys.stdout.buffer:
+            fout.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

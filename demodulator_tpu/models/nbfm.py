@@ -105,6 +105,22 @@ class BlockPipeline:
             return cond_ops.normalize_input(raw, self.dtype), None, state
         return cond_ops.shift_origin(raw, self.dtype), None, state
 
+    def post_condition(self, x: jax.Array, dc_over: jax.Array | None):
+        """Filters + discriminator on conditioned data [..., n] → audio
+        [..., n/4].  Split out so the sharding layer can substitute its own
+        conditioning (demodulator_tpu.parallel.sharding)."""
+        n = self.cfg.buf_size
+        if self.in_fir is not None:
+            pairs = x.reshape(*x.shape[:-1], n // 2, 2)
+            y, in_over = self.in_fir(pairs, dc_over)
+            demod_in = y.reshape(*x.shape[:-1], n)
+            audio_y_init = in_over.reshape(*in_over.shape[:-2], -1)
+        else:
+            demod_in = x
+            audio_y_init = dc_over
+        d = demod_ops.fm_demod(demod_in, fast=self.fast_atan2)
+        return self.out_fir(d, audio_y_init)
+
     def __call__(self, state: PipelineState, raw: jax.Array):
         """raw: uint8 [..., buf_size] → (new_state, audio [..., buf_size/4])
         (or filtered IQ [..., buf_size] in demod mode 0)."""
@@ -117,17 +133,7 @@ class BlockPipeline:
             y, _ = self.in_fir(pairs)
             return state, y.reshape(*x.shape[:-1], n)
         x, dc_over, state = self._condition(raw, state)
-        if self.in_fir is not None:
-            pairs = x.reshape(*x.shape[:-1], n // 2, 2)
-            y, in_over = self.in_fir(pairs, dc_over)
-            demod_in = y.reshape(*x.shape[:-1], n)
-            audio_y_init = in_over.reshape(*in_over.shape[:-2], -1)
-        else:
-            demod_in = x
-            audio_y_init = dc_over
-        d = demod_ops.fm_demod(demod_in, fast=self.fast_atan2)
-        audio = self.out_fir(d, audio_y_init)
-        return state, audio
+        return state, self.post_condition(x, dc_over)
 
     # -- conveniences ---------------------------------------------------
     def jit_block_fn(self):

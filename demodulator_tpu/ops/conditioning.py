@@ -72,3 +72,42 @@ def correct_iq(buf: jax.Array, off: jax.Array, esr, dtype=jnp.float32):
     out_front = (front - off_b).reshape(*buf.shape[:-1], L // 2)
     out_back = jnp.flip(back - off_b, axis=-2).reshape(*buf.shape[:-1], L // 2)
     return jnp.concatenate([out_front, out_back], axis=-1), new_off
+
+
+def correct_iq_zero(buf: jax.Array, esr, dtype=jnp.float32):
+    """correct_iq evaluated at off = 0, plus the block's affine summary.
+
+    Because the tracker recurrence is affine, a block's output for any
+    initial offset decomposes as
+
+        out(off0) = out(0) - decay^k · off0        (per pair-step k)
+        off_end(off0) = a_tot · off0 + b_tot,  a_tot = (1-2·esr)^(L/4)
+
+    which makes multi-block / multi-shard processing embarrassingly parallel:
+    compute out(0) everywhere, then fix up with the (tiny) prefix of block
+    summaries — see demodulator_tpu.parallel.sharding.
+
+    Returns (out0 [..., L], b_tot [..., 2]).
+    """
+    zero = jnp.zeros((*buf.shape[:-1], 2), dtype=dtype)
+    return correct_iq(buf, zero, esr, dtype)
+
+
+def correct_iq_decay(L: int, esr, dtype=jnp.float32) -> jax.Array:
+    """decay^k for k = 0..L/4-1 (host-computed constant, f64 accumulated)."""
+    import numpy as np
+    a = 1.0 - 2.0 * float(np.float32(esr) if dtype == jnp.float32 else esr)
+    pows = np.power(a, np.arange(L >> 2, dtype=np.float64))
+    return jnp.asarray(pows, dtype)
+
+
+def correct_iq_apply_offset(out0: jax.Array, off0: jax.Array,
+                            decay_pows: jax.Array) -> jax.Array:
+    """Fix up out(0) → out(off0): subtract decay^k·off0 at pair-step k's four
+    positions (front pair 2k,2k+1 and mirror pair L-2k-2,L-2k-1)."""
+    L = out0.shape[-1]
+    n = L >> 2
+    corr = decay_pows[..., :, None] * off0[..., None, :]      # [..., n, 2]
+    front = corr.reshape(*corr.shape[:-2], L // 2)
+    back = jnp.flip(corr, axis=-2).reshape(*corr.shape[:-2], L // 2)
+    return out0 - jnp.concatenate([front, back], axis=-1)

@@ -52,6 +52,22 @@ class JRealFir:
             y = jnp.concatenate([y[..., :hy] + add, y[..., hy:]], axis=-1)
         return y
 
+    def stationary(self, x: jax.Array, halo: jax.Array | None = None) -> jax.Array:
+        """Continuous-profile application: pure stationary anti-causal FIR.
+
+        ``halo`` carries the first D samples of the *next* time shard (zeros
+        at stream end).  No head rows / overruns — continuous mode removes
+        the reference's per-block boundary artifacts by design.
+        """
+        P = x.shape[-1]
+        if halo is None:
+            halo = jnp.zeros((*x.shape[:-1], self.D), dtype=x.dtype)
+        xe = jnp.concatenate([x, halo[..., : self.D]], axis=-1)
+        y = self.taps[0] * x
+        for d in range(1, self.D + 1):
+            y = y + self.taps[d] * xe[..., d: d + P]
+        return y
+
 
 class JCplxFir:
     """Device-ready complex (I/Q-lane) filter operator."""
@@ -116,3 +132,18 @@ class JCplxFir:
                 [y[..., : S - tc, :], y[..., S - tc:, :] + y_tail_add], axis=-2)
             over = over + over_add
         return y, over
+
+    def stationary(self, x: jax.Array, halo: jax.Array | None = None) -> jax.Array:
+        """Continuous-profile application (see JRealFir.stationary).
+
+        x: [..., S, 2]; halo: [..., Dc, 2] from the next time shard.
+        Keeps the interior affine constants (the Q lane's -per-section
+        constant is part of the reference's steady-state response)."""
+        S = x.shape[-2]
+        if halo is None:
+            halo = jnp.zeros((*x.shape[:-2], self.Dc, 2), dtype=x.dtype)
+        xe = jnp.concatenate([x, halo[..., : self.Dc, :]], axis=-2)
+        y = self.taps[0] * x
+        for d in range(1, self.Dc + 1):
+            y = y + self.taps[d] * xe[..., d: d + S, :]
+        return y + self.c_int

@@ -1,0 +1,171 @@
+"""SPMD sharded demodulation over a (time, chan) device mesh.
+
+The unit of work is a CHUNK: uint8 IQ of shape [C, NB, n] — C channels ×
+NB blocks × bufSize bytes — sharded C over ``chan`` and NB over ``time``.
+
+compat profile
+    Blocks are independent (per-block zero filter state, SURVEY.md §1
+    fact 3) → pure SPMD, zero communication … except conditioning mode 1
+    (correctIq), whose DC tracker chains sequentially through every block of
+    a channel.  Because the tracker is affine, each block's contribution
+    reduces to a 2-vector summary; shards compute local prefixes, exchange
+    one tiny summary via all_gather over ``time``, and fix their outputs up
+    with a geometric decay profile — an exact (to fp) reconstruction of the
+    sequential chain with O(1) communication.
+
+continuous profile (extension; BASELINE config 3)
+    The whole stream is filtered with the stationary interior response (no
+    per-block transients).  The extracted FIR taps are anti-causal with tiny
+    reach D, so each shard only needs the FIRST few samples of its RIGHT
+    neighbor: one ppermute per filter stage.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..config import DemodConfig
+from ..models.nbfm import BlockPipeline
+from ..ops import conditioning as cond_ops
+from ..ops import demod as demod_ops
+from .mesh import TIME_AXIS, CHAN_AXIS
+
+__all__ = ["ShardedPipeline"]
+
+
+def _affine_prefix_blocks(a_tot: jax.Array, b_tot: jax.Array, off0: jax.Array):
+    """Exclusive affine prefix over the local block axis.
+
+    a_tot: scalar decay per block; b_tot: [..., NB, 2] per-block summaries;
+    off0: [..., 2] incoming state.  Returns (off_before [..., NB, 2],
+    (A_loc, b_loc) shard summary).
+    """
+    nb = b_tot.shape[-2]
+    a_vec = jnp.full_like(b_tot, a_tot)
+
+    def combine(l, r):
+        return (l[0] * r[0], l[1] * r[0] + r[1])
+
+    a_inc, b_inc = jax.lax.associative_scan(combine, (a_vec, b_tot), axis=-2)
+    ones = jnp.ones_like(a_inc[..., :1, :])
+    zeros = jnp.zeros_like(ones)
+    a_exc = jnp.concatenate([ones, a_inc[..., :-1, :]], axis=-2)
+    b_exc = jnp.concatenate([zeros, b_inc[..., :-1, :]], axis=-2)
+    off_before = a_exc * off0[..., None, :] + b_exc
+    return off_before, (a_inc[..., -1, :], b_inc[..., -1, :])
+
+
+def _cross_shard_offset(summary, off0, axis: str):
+    """Turn per-shard affine summaries into each shard's incoming state via
+    one all_gather of 2-vectors over the time axis."""
+    A_loc, b_loc = summary                      # [..., 2] each (per channel)
+    A_all = jax.lax.all_gather(A_loc, axis)     # [T, ..., 2]
+    b_all = jax.lax.all_gather(b_loc, axis)
+    t = jax.lax.axis_index(axis)
+    T = A_all.shape[0]
+    cur = off0
+    states = []
+    for j in range(T):                          # T is static and small
+        states.append(cur)                      # state entering shard j
+        cur = A_all[j] * cur + b_all[j]
+    off = jax.lax.dynamic_index_in_dim(jnp.stack(states), t, keepdims=False)
+    return off, cur
+
+
+def _right_halo(x: jax.Array, width: int, axis_name: str, axis: int = -1):
+    """Fetch the first ``width`` elements (along ``axis``) of the RIGHT
+    neighbor's shard; zeros on the last shard (stream end ≡ zero padding)."""
+    n = jax.lax.axis_size(axis_name)
+    head = jax.lax.slice_in_dim(x, 0, width, axis=axis)
+    if n == 1:
+        return jnp.zeros_like(head)
+    # send my head to my LEFT neighbor: src i → dst i-1
+    perm = [(i, i - 1) for i in range(1, n)]
+    return jax.lax.ppermute(head, axis_name, perm)
+
+
+class ShardedPipeline:
+    """Sharded (time × chan) demodulation step for one chunk.
+
+    __call__(off0, raw) with raw uint8 [C, NB, n] (global shape) sharded
+    P(chan, time, None) and off0 [C, 2] sharded P(chan, None); returns
+    (new_off [C, 2], audio [C, NB, n/4] sharded like raw).
+    """
+
+    def __init__(self, cfg: DemodConfig, mesh: jax.sharding.Mesh,
+                 fast_atan2: bool = False):
+        cfg.validate()
+        self.cfg = cfg
+        self.mesh = mesh
+        self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
+        self.continuous = cfg.profile == "continuous"
+        n = cfg.buf_size
+        self.decay = cond_ops.correct_iq_decay(n, self.pipe.esr,
+                                               self.pipe.dtype)
+        self._step = jax.jit(shard_map(
+            self._local_step, mesh=mesh,
+            in_specs=(P(CHAN_AXIS, None), P(CHAN_AXIS, TIME_AXIS, None)),
+            out_specs=(P(CHAN_AXIS, None), P(CHAN_AXIS, TIME_AXIS, None)),
+            check_vma=False))
+
+    def __call__(self, off0: jax.Array, raw: jax.Array):
+        return self._step(off0, raw)
+
+    # ---- conditioning with cross-shard correctIq ----------------------
+    def _condition_sharded(self, off0, raw):
+        """raw [C_l, NB_l, n] → (cond [C_l, NB_l, n], dc_over|None, new_off)."""
+        kind = self.cfg.conditioning_kind()
+        pipe = self.pipe
+        if kind == 1:
+            out0, b_tot = cond_ops.correct_iq_zero(raw, pipe.esr, pipe.dtype)
+            a_tot = (self.decay[-1] * self.decay[1]).astype(pipe.dtype)
+            off_before, summary = _affine_prefix_blocks(a_tot, b_tot,
+                                                        jnp.zeros_like(off0))
+            off_sh, final = _cross_shard_offset(summary, off0, TIME_AXIS)
+            # incoming shard state folds into every block's offset
+            nb = raw.shape[-2]
+            a_pow = a_tot ** jnp.arange(nb, dtype=pipe.dtype)
+            off_blk = off_before + a_pow[:, None] * off_sh[..., None, :]
+            cond = cond_ops.correct_iq_apply_offset(out0, off_blk, self.decay)
+            return cond, None, final
+        if kind == 2:
+            shifted = cond_ops.shift_origin(raw, pipe.dtype)
+            pairs = shifted.reshape(*shifted.shape[:-1],
+                                    shifted.shape[-1] // 2, 2)
+            if self.continuous:
+                flat = pairs.reshape(pairs.shape[0], -1, 2)
+                halo = _right_halo(flat, pipe.dc_fir.Dc, TIME_AXIS, axis=-2)
+                y = pipe.dc_fir.stationary(flat, halo)
+                return y.reshape(raw.shape), None, off0
+            y, over = pipe.dc_fir(pairs)
+            return (y.reshape(raw.shape),
+                    over.reshape(*over.shape[:-2], -1), off0)
+        if kind == 3:
+            return cond_ops.normalize_input(raw, pipe.dtype), None, off0
+        return cond_ops.shift_origin(raw, pipe.dtype), None, off0
+
+    # ---- the per-shard step -------------------------------------------
+    def _local_step(self, off0, raw):
+        cond, dc_over, new_off = self._condition_sharded(off0, raw)
+        pipe = self.pipe
+        if not self.continuous:
+            audio = pipe.post_condition(cond, dc_over)
+            return new_off, audio
+        # continuous: flatten local blocks into one stream segment
+        C = raw.shape[0]
+        n = self.cfg.buf_size
+        flat = cond.reshape(C, -1)
+        if pipe.in_fir is not None:
+            pairs = flat.reshape(C, -1, 2)
+            halo = _right_halo(pairs, pipe.in_fir.Dc, TIME_AXIS, axis=-2)
+            y = pipe.in_fir.stationary(pairs, halo)
+            flat = y.reshape(C, -1)
+        d = demod_ops.fm_demod(flat, fast=pipe.fast_atan2)
+        halo_d = _right_halo(d, pipe.out_fir.D, TIME_AXIS, axis=-1)
+        audio = pipe.out_fir.stationary(d, halo_d)
+        return new_off, audio.reshape(C, raw.shape[1], n >> 2)

@@ -1,0 +1,112 @@
+"""Streaming runtime: double-buffered block feeder + pipelined device compute.
+
+TPU-native replacement for the reference's producer/consumer thread pair
+(src/main.c:58-98, src/matrix.c:236-242).  The pthread+semaphore ping-pong
+becomes: a reader thread filling a bounded prefetch queue (the semaphore
+pair's moral equivalent), the main thread dispatching async device work
+(jit dispatch is non-blocking, so host reads overlap device compute), and a
+small in-flight window before synchronizing outputs for the writer.
+
+Framing semantics (compat profile):
+  * only FULL bufSize blocks are processed — the reference drops partial
+    tails via its exit-flag race (verified empirically; src/main.c:72-91);
+  * each block's output is bufSize/4 float32 samples (src/matrix.c:193);
+  * profile="continuous" / tail_policy="pad" extensions process the tail
+    zero-padded.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import BinaryIO, Iterator, Optional
+
+import numpy as np
+
+from ..config import DemodConfig
+from ..models.nbfm import BlockPipeline
+
+__all__ = ["BlockReader", "StreamProcessor"]
+
+
+class BlockReader:
+    """Background-thread block reader with a bounded prefetch queue."""
+
+    def __init__(self, f: BinaryIO, block_size: int, depth: int = 4,
+                 tail_policy: str = "drop"):
+        self.f = f
+        self.block_size = block_size
+        self.tail_policy = tail_policy
+        self.q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=depth)
+        self.error: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        try:
+            # keep last raw block around: the reference's short final read
+            # overlays fresh bytes on the previous block's buffer
+            prev = np.zeros(self.block_size, dtype=np.uint8)
+            while True:
+                data = self.f.read(self.block_size)
+                if not data:
+                    break
+                buf = np.frombuffer(data, dtype=np.uint8)
+                if len(buf) < self.block_size:
+                    if self.tail_policy == "pad":
+                        blk = prev.copy()
+                        blk[: len(buf)] = buf
+                        self.q.put(blk)
+                    break  # "drop": partial tail never produces output
+                prev = buf
+                self.q.put(buf)
+        except BaseException as e:  # surfaced to the consumer
+            self.error = e
+        finally:
+            self.q.put(None)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self.q.get()
+            if item is None:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item
+
+
+class StreamProcessor:
+    """Connects a BlockReader to the jitted pipeline and an output file.
+
+    ``inflight`` bounds the number of dispatched-but-unread device results,
+    overlapping host IO with device compute (the reference's 2-thread
+    pipeline, without locks).
+    """
+
+    def __init__(self, cfg: DemodConfig, fast_atan2: bool = False,
+                 inflight: int = 2):
+        self.cfg = cfg
+        self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
+        self.fn = self.pipe.jit_block_fn()
+        self.inflight = max(1, inflight)
+
+    def run(self, fin: BinaryIO, fout: BinaryIO,
+            tail_policy: str | None = None) -> int:
+        """Process the stream; returns number of blocks emitted."""
+        if tail_policy is None:
+            tail_policy = "drop" if self.cfg.profile == "compat" else "pad"
+        reader = BlockReader(fin, self.cfg.buf_size, tail_policy=tail_policy)
+        state = self.pipe.init_state()
+        pending: list = []
+        blocks = 0
+        out_dtype = self.cfg.np_dtype()
+        for raw in reader:
+            state, out = self.fn(state, raw)
+            pending.append(out)
+            if len(pending) >= self.inflight:
+                np.asarray(pending.pop(0), dtype=out_dtype).tofile(fout)
+                blocks += 1
+        for out in pending:
+            np.asarray(out, dtype=out_dtype).tofile(fout)
+            blocks += 1
+        fout.flush()
+        return blocks

@@ -4,16 +4,17 @@ import os
 import subprocess
 import sys
 
-# Must happen before any jax import anywhere in the test session.  The axon
-# sitecustomize registers the remote-TPU backend for every process when
-# PALLAS_AXON_POOL_IPS is set and overrides platform selection; drop it so
-# tests run hermetically on a virtual 8-device CPU mesh.
+# Force a hermetic virtual 8-device CPU mesh.  The axon sitecustomize
+# pre-imports jax and pins jax_platforms to the remote TPU backend for every
+# python process (when PALLAS_AXON_POOL_IPS is set), so plain env vars are
+# consumed before conftest runs — override via jax.config instead, which
+# works any time before first backend initialization.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,67 @@
+"""End-to-end CLI parity: `python -m demodulator_tpu` vs the C reference."""
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_reference, snr_db
+
+ENV = {**os.environ,
+       "JAX_PLATFORMS": "cpu",
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+ENV.pop("PALLAS_AXON_POOL_IPS", None)
+
+
+def run_cli(data: bytes, args, stdin_io=False):
+    cmd = [sys.executable, "-m", "demodulator_tpu"]
+    if stdin_io:
+        r = subprocess.run(cmd + ["-i", "-", "-o", "-", *args],
+                           input=data, capture_output=True, env=ENV,
+                           cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, r.stderr.decode()
+        return np.frombuffer(r.stdout, dtype=np.float32)
+    with tempfile.NamedTemporaryFile(suffix=".dat") as fin, \
+            tempfile.NamedTemporaryFile(suffix=".f32") as fout:
+        fin.write(data)
+        fin.flush()
+        r = subprocess.run(cmd + ["-i", fin.name, "-o", fout.name, *args],
+                           capture_output=True, env=ENV,
+                           cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, r.stderr.decode()
+        return np.fromfile(fout.name, dtype=np.float32)
+
+
+@pytest.mark.parametrize("args", [
+    ["-S", "192000", "-l", "12500", "-b", "-6"],
+    ["-S", "192000", "-l", "12500", "-b", "-6", "-L", "12500"],
+    ["-S", "192000", "-l", "6500", "-b", "-6", "-m", "1", "-e", "2"],
+])
+def test_cli_matches_reference(ref_binary, iq_data, args):
+    mine = run_cli(iq_data.tobytes(), args)
+    ref = run_reference(ref_binary, iq_data.tobytes(), args)
+    n = 2 * 1024  # exclude the reference's racy final block(s)
+    assert len(mine) == 3 * 1024
+    s = snr_db(ref[:n], mine[:n])
+    assert s > 100.0, f"{s:.1f} dB"
+
+
+def test_cli_stdin_stdout(iq_data):
+    """'-' (or any arg containing '-') selects the standard streams."""
+    out = run_cli(iq_data.tobytes(),
+                  ["-S", "192000", "-l", "12500", "-b", "-6"], stdin_io=True)
+    assert len(out) == 3 * 1024
+
+
+def test_cli_partial_tail_dropped(iq_data):
+    out = run_cli(iq_data.tobytes() + b"\x7f" * 777,
+                  ["-S", "192000", "-l", "12500", "-b", "-6"])
+    assert len(out) == 3 * 1024
+
+
+def test_cli_tail_pad_extension(iq_data):
+    out = run_cli(iq_data.tobytes() + b"\x7f" * 777,
+                  ["-S", "192000", "-l", "12500", "-b", "-6", "--tail", "pad"])
+    assert len(out) == 4 * 1024
