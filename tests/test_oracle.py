@@ -59,11 +59,12 @@ def test_final_block_race_documented(ref_binary, iq_data):
 
 
 def test_partial_tail_dropped(ref_binary, iq_data):
-    """Partial final reads never produce output (consumer exit race)."""
+    """Partial final reads never produce *demodulated* output — the racy exit
+    either drops the tail (usual) or emits one garbage block (occasional)."""
     data = iq_data.tobytes() + b"\x80" * 1000  # 3 blocks + 1000 stray bytes
     ref = run_reference(ref_binary, data,
                         ["-S", "192000", "-l", "12500", "-b", "-6"])
-    assert len(ref) == 3 * 1024
+    assert len(ref) in (3 * 1024, 4 * 1024)
 
 
 def test_apply_filter_isolated_bitexact(ref_harness):
