@@ -1,10 +1,15 @@
 """Throughput benchmark: flagship NBFM demod chain, single chip.
 
 Prints ONE JSON line: IQ complex Msamples/s through the full per-block
-pipeline (conditioning → discriminator → audio FIR) on device-resident
-data.  vs_baseline is the ratio to the reference's demonstrated real-time
-rate (192 ksps complex sustained through its decode pipelines — the only
-performance fact the reference exhibits; BASELINE.md).
+pipeline (uint8 conditioning → quadrature discriminator → audio FIR) on
+device-resident data, fused Pallas path when on TPU.
+
+Methodology: the step runs N times inside one on-device lax.fori_loop with
+a data dependency per iteration (host-side timing through the remote-TPU
+tunnel is unreliable — dispatch is async and block_until_ready returns
+before execution completes).  vs_baseline is the ratio to the reference's
+demonstrated real-time rate (192 ksps complex sustained through its decode
+pipelines — the only performance fact it exhibits; BASELINE.md).
 """
 import json
 import time
@@ -14,34 +19,37 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
     from demodulator_tpu.config import DemodConfig
     from demodulator_tpu.models.nbfm import BlockPipeline
 
     cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0)
-    pipe = BlockPipeline(cfg, fast_atan2=True)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="auto")
 
-    B = 32  # blocks per step: 32 × 256 KiB = 8 MiB uint8 per step
+    B = 256   # blocks per step: 64 MiB uint8 in, 64 MiB float32 out
+    N = 30    # on-device iterations per timing call
     rng = np.random.default_rng(0)
-    raw_np = rng.integers(0, 256, size=(B, cfg.buf_size), dtype=np.uint8)
-    raw = jax.device_put(raw_np)
+    raw = jax.device_put(
+        rng.integers(0, 256, size=(B, cfg.buf_size), dtype=np.uint8))
     state = pipe.init_state()
 
-    fn = jax.jit(pipe.process_blocks)
-    out = fn(state, raw)[1]
-    out.block_until_ready()  # compile + warmup
+    @jax.jit
+    def bench(raw):
+        def body(i, acc):
+            r2 = raw.at[0, 0].set(i.astype(jnp.uint8))  # defeat CSE
+            out = pipe(state, r2)[1]
+            return acc + out[0, 0] + out[-1, -1]
+        return jax.lax.fori_loop(0, N, body, jnp.float32(0))
 
-    iters = 20
+    float(bench(raw))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(state, raw)[1]
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    float(bench(raw))
+    dt = (time.perf_counter() - t0) / N
 
-    complex_samples = B * cfg.buf_size / 2
-    msps = complex_samples / dt / 1e6
+    msps = B * cfg.buf_size / 2 / dt / 1e6
     print(json.dumps({
         "metric": "nbfm_demod_iq_throughput_per_chip",
-        "value": round(msps, 2),
+        "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps * 1e6 / 192000.0, 1),
     }))

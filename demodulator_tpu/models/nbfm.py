@@ -38,9 +38,13 @@ class PipelineState(NamedTuple):
 class BlockPipeline:
     """Builds and holds the jit-able per-block compute graph for a config."""
 
-    def __init__(self, cfg: DemodConfig, fast_atan2: bool = False):
+    def __init__(self, cfg: DemodConfig, fast_atan2: bool = False,
+                 backend: str = "auto"):
+        """backend: 'xla' (portable), 'fused' (Pallas kernel for eligible
+        configs), or 'auto' (fused on TPU when eligible, else xla)."""
         cfg.validate()
         self.cfg = cfg
+        self.backend = backend
         self.fast_atan2 = fast_atan2
         self.dtype = jnp.float64 if cfg.precision == "float64" else jnp.float32
         np_dtype = cfg.np_dtype()
@@ -79,6 +83,40 @@ class BlockPipeline:
             dtype=self.dtype)
 
         self.esr = np_dtype(50.0 / cfg.sample_rate)
+
+        # fused Pallas kernel eligibility (flagship path: no input filter,
+        # stateless elementwise conditioning, lane-aligned block size, f32)
+        self.fused_eligible = (
+            cfg.demod_mode() != 0
+            and self.in_fir is None
+            and cfg.conditioning_kind() in (0, 3)
+            and (cfg.buf_size // 4) % 128 == 0
+            and self.dtype == jnp.float32
+        )
+
+    def fused_call(self, state: PipelineState, raw: jax.Array,
+                   interpret: bool = False):
+        """Fused-kernel path (ops.pallas.fused_nbfm): single VMEM pass per
+        block + the tiny f64 head-row patch computed in XLA."""
+        from ..ops.pallas.fused_nbfm import fused_nbfm
+        assert self.fused_eligible
+        cfg = self.cfg
+        n = cfg.buf_size
+        lead = raw.shape[:-1]
+        raw2 = raw.reshape(-1, n)
+        kind = cfg.conditioning_kind()
+        name = "normalize" if kind == 3 else "shift"
+        taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
+        audio = fused_nbfm(raw2, taps, name, interpret=interpret)
+        # f64 head patch: demod of the first Wh samples (4 bytes each)
+        W = self.out_fir.Wh
+        raw_head = raw2[:, : 4 * W]
+        xh = (cond_ops.normalize_input(raw_head, self.dtype) if kind == 3
+              else cond_ops.shift_origin(raw_head, self.dtype))
+        dh = demod_ops.fm_demod(xh, fast=True)
+        head = self.out_fir.head_only(dh)
+        audio = jnp.concatenate([head, audio[:, self.out_fir.H:]], axis=-1)
+        return state, audio.reshape(*lead, n >> 2)
 
     # -- state ----------------------------------------------------------
     def init_state(self, batch_shape=()) -> PipelineState:
@@ -121,12 +159,24 @@ class BlockPipeline:
         d = demod_ops.fm_demod(demod_in, fast=self.fast_atan2)
         return self.out_fir(d, audio_y_init)
 
+    def _use_fused(self) -> bool:
+        if not self.fused_eligible:
+            return False
+        if self.backend == "fused":
+            return True
+        if self.backend == "auto":
+            plat = jax.default_backend()
+            return plat in ("tpu", "axon")
+        return False
+
     def __call__(self, state: PipelineState, raw: jax.Array):
         """raw: uint8 [..., buf_size] → (new_state, audio [..., buf_size/4])
         (or filtered IQ [..., buf_size] in demod mode 0)."""
         cfg = self.cfg
         n = cfg.buf_size
         assert raw.shape[-1] == n
+        if cfg.demod_mode() != 0 and self._use_fused():
+            return self.fused_call(state, raw)
         if cfg.demod_mode() == 0:
             x = cond_ops.normalize_input(raw, self.dtype)
             pairs = x.reshape(*x.shape[:-1], n // 2, 2)

@@ -52,6 +52,12 @@ class JRealFir:
             y = jnp.concatenate([y[..., :hy] + add, y[..., hy:]], axis=-1)
         return y
 
+    def head_only(self, x_head: jax.Array) -> jax.Array:
+        """f64 head rows from the first Wh inputs: [..., Wh] → [..., H].
+        Used to patch the fused Pallas kernel's stationary-everywhere output."""
+        return jnp.einsum("hw,...w->...h", self.head,
+                          x_head.astype(jnp.float64)).astype(self.dtype)
+
     def stationary(self, x: jax.Array, halo: jax.Array | None = None) -> jax.Array:
         """Continuous-profile application: pure stationary anti-causal FIR.
 

@@ -1,0 +1,79 @@
+"""Fused Pallas NBFM kernel vs the XLA reference path.
+
+The fused kernel (ops/pallas/fused_nbfm.py) runs in interpret mode on the
+CPU mesh here; on real TPU it is the flagship fast path selected by
+BlockPipeline(backend='auto').  Numerics: identical conditioning math,
+identical polynomial atan2, identical tap order — differences are limited
+to f32 rounding of the shifted-MAC FIR, so we assert tight SNR.
+"""
+import numpy as np
+import pytest
+
+from demodulator_tpu.config import DemodConfig
+from demodulator_tpu.models.nbfm import BlockPipeline
+from tests.conftest import snr_db
+
+# small lane-aligned block: 4096 bytes → 1024 demod samples → 8×128 tile
+BUF = 4096
+
+
+def _raw(blocks=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(blocks, BUF), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("q", [0, 3])  # shift_origin, normalize_input
+def test_fused_matches_xla(q):
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      buf_size=BUF, mode=0x10 | (q << 2))
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="xla")
+    assert pipe.fused_eligible
+    raw = _raw()
+    state = pipe.init_state()
+    _, want = pipe(state, raw)
+    _, got = pipe.fused_call(state, raw, interpret=True)
+    assert got.shape == want.shape == (3, BUF // 4)
+    got, want = np.asarray(got), np.asarray(want)
+    assert snr_db(want.ravel(), got.ravel()) > 110.0
+    # head rows are computed by the identical f64 patch on both paths
+    W = pipe.out_fir.H
+    np.testing.assert_array_equal(got[:, :W], want[:, :W])
+
+
+def test_fused_matches_oracle():
+    """End-to-end: fused kernel vs the numpy golden model of the C chain."""
+    from demodulator_tpu.oracle.pipeline import OraclePipeline
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0, buf_size=BUF)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="fused")
+    raw = _raw(blocks=2, seed=7)
+    _, got = pipe.fused_call(pipe.init_state(), raw, interpret=True)
+    want = OraclePipeline(cfg).process_stream(raw.tobytes())
+    assert snr_db(want, np.asarray(got).ravel()) > 60.0
+
+
+def test_fused_eligibility_gates():
+    # input LPF present → not eligible
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      lowpass_in=15000.0, in_filter_degree=4, buf_size=BUF)
+    assert not BlockPipeline(cfg, backend="xla").fused_eligible
+    # stateful conditioning (correctIq) → not eligible
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      buf_size=BUF, mode=0x10 | (1 << 2))
+    assert not BlockPipeline(cfg, backend="xla").fused_eligible
+    # non-lane-aligned block → not eligible
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0, buf_size=256)
+    assert not BlockPipeline(cfg, backend="xla").fused_eligible
+
+
+def test_fused_chebyshev_taps():
+    """Fused path with Chebyshev-I output filter (different taps/degree)."""
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=9500.0,
+                      out_filter_degree=5, epsilon=0.25, mode=0x11,
+                      buf_size=BUF)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="xla")
+    assert pipe.fused_eligible
+    raw = _raw(blocks=2, seed=3)
+    state = pipe.init_state()
+    _, want = pipe(state, raw)
+    _, got = pipe.fused_call(state, raw, interpret=True)
+    assert snr_db(np.asarray(want).ravel(), np.asarray(got).ravel()) > 110.0

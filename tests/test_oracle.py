@@ -51,11 +51,22 @@ def test_oracle_matches_reference(ref_binary, iq_data, cli, opts):
 
 
 def test_final_block_race_documented(ref_binary, iq_data):
-    """The reference's last block is shiftOrigin output, not audio (EOF race)."""
+    """The reference's tail output is race-dependent (the producer's 0-byte
+    EOF read overwrites args->bufSize mid-DSP, src/main.c:88): the final
+    block is usually raw conditioned IQ instead of audio, sometimes doubled,
+    occasionally correct.  Only the non-final blocks are deterministic."""
     ref = run_reference(ref_binary, iq_data.tobytes(),
                         ["-S", "192000", "-l", "12500", "-b", "-6"])
+    assert len(ref) in (3 * 1024, 4 * 1024)
+    cfg = config_from_cli_opts(BASE)
+    want = OraclePipeline(cfg).process_stream(iq_data.tobytes())
+    # non-final blocks always match the golden model
+    assert snr_db(ref[:2048], want[:2048]) > 120.0
+    # the observed common outcome: tail == shiftOrigin of the final block
     cond = ops.shift_origin(iq_data[2 * 4096:])
-    assert np.array_equal(ref[-1024:], cond[:1024])
+    tail_is_conditioned = np.array_equal(ref[2048:3072], cond[:1024])
+    tail_is_audio = snr_db(want[2048:3072], ref[2048:3072]) > 60.0
+    assert tail_is_conditioned or tail_is_audio or len(ref) == 4096
 
 
 def test_partial_tail_dropped(ref_binary, iq_data):
