@@ -11,7 +11,9 @@ are accepted and ignored; -b shifts DEFAULT_BUF_SIZE.
 
 Framework extensions use long options (never colliding with the reference's
 short ones): --profile compat|continuous, --precision float32|float64,
---fast-atan2, --tail drop|pad, --verbose-design, --bench.
+--fast-atan2, --tail drop|pad, --verbose-design, and the WBFM broadcast
+receiver --wbfm [--iq-rate 2400000 --audio-rate 48000 --deviation 75000
+--deemphasis 75] (rational polyphase resample + de-emphasis; models/wbfm.py).
 """
 from __future__ import annotations
 
@@ -28,7 +30,9 @@ def parse_args(argv):
     takes_arg = {SHORT_OPTS[i]: True for i in range(0, len(SHORT_OPTS), 2)}
     opts: dict = {}
     extras = {"profile": "compat", "precision": "float32", "fast_atan2": False,
-              "tail": None, "verbose_design": False}
+              "tail": None, "verbose_design": False, "wbfm": False,
+              "iq_rate": "2400000", "audio_rate": "48000",
+              "deviation": "75000", "deemphasis": "75"}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -36,8 +40,13 @@ def parse_args(argv):
             extras["fast_atan2"] = True
         elif a == "--verbose-design":
             extras["verbose_design"] = True
-        elif a in ("--profile", "--precision", "--tail"):
+        elif a == "--wbfm":
+            extras["wbfm"] = True
+        elif a in ("--profile", "--precision", "--tail", "--iq-rate",
+                   "--audio-rate", "--deviation", "--deemphasis"):
             i += 1
+            if i >= len(argv):
+                raise SystemExit(f"option {a} requires an argument")
             extras[a[2:].replace("-", "_")] = argv[i]
         elif a.startswith("--"):
             raise SystemExit(f"unknown option {a}")
@@ -73,6 +82,23 @@ def _dump_design(cfg: DemodConfig):
              cfg.lowpass_in)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-run TPU compiles of the fused
+    kernel / conv chains are tens of seconds to minutes through a remote
+    backend; subsequent CLI invocations then start instantly."""
+    import os
+    import jax
+    cache = os.environ.get("DEMODULATOR_TPU_JIT_CACHE",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".cache", "demodulator_tpu", "jit"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
@@ -94,10 +120,20 @@ def main(argv=None) -> int:
         return -1
     fin = sys.stdin.buffer if "-" in iarg else open(iarg, "rb")
     fout = sys.stdout.buffer if "-" in oarg else open(oarg, "wb")
+    _enable_compile_cache()
     try:
         from .runtime.stream import StreamProcessor
-        proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"])
-        proc.run(fin, fout, tail_policy=extras["tail"])
+        if extras["wbfm"]:
+            from .models.wbfm import WbfmConfig, WbfmPipeline
+            wcfg = WbfmConfig(sample_rate=float(extras["iq_rate"]),
+                              audio_rate=float(extras["audio_rate"]),
+                              deviation=float(extras["deviation"]),
+                              deemphasis_us=float(extras["deemphasis"]))
+            proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg))
+            proc.run(fin, fout, tail_policy=extras["tail"] or "drop")
+        else:
+            proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"])
+            proc.run(fin, fout, tail_policy=extras["tail"])
     finally:
         if fin is not sys.stdin.buffer:
             fin.close()

@@ -1,0 +1,178 @@
+"""WBFM broadcast receiver (framework extension — BASELINE config 5).
+
+The reference is NBFM-only (no resampler, SURVEY.md §1 fact 2); this model
+is the textbook broadcast-FM chain built from the framework's TPU ops:
+
+    uint8 IQ @ fs (e.g. 2.4 Msps)
+      → conditioning (shiftOrigin semantics, src/matrix.c:82-98)
+      → polyphase channel-select decimation of complex baseband
+        (fs → quad_rate, MXU conv — ops/resample.py)
+      → quadrature discriminator (conj-product + atan2, inherent 2:1,
+        src/matrix.c:159-176 semantics via ops/demod.py)
+      → polyphase resample to audio_rate with 15 kHz anti-alias cutoff
+      → 1-pole de-emphasis (τ = 75 µs US / 50 µs EU), applied at audio
+        rate as its exact exponential FIR projection (error < 1e-10)
+      → deviation-normalized float32 audio in [-1, 1]
+
+All stages are stationary convolutions or elementwise maps — no sequential
+recurrence anywhere, so the whole chain jits to fused VPU/MXU work and
+shards over ('chan', 'time') meshes like the NBFM pipeline.  State is the
+overlap-save histories (continuous across blocks by construction).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conditioning as cond_ops
+from ..ops import demod as demod_ops
+from ..ops.resample import PolyResampler, design_resampler_taps, kaiser_lowpass
+
+__all__ = ["WbfmConfig", "WbfmState", "WbfmPipeline"]
+
+
+def _rat(x: float, max_den: int = 1 << 20):
+    from fractions import Fraction
+    f = Fraction(x).limit_denominator(max_den)
+    return f.numerator, f.denominator
+
+
+@dataclasses.dataclass
+class WbfmConfig:
+    sample_rate: float = 2.4e6       # complex input rate
+    audio_rate: float = 48000.0
+    deviation: float = 75000.0       # broadcast FM peak deviation
+    deemphasis_us: float = 75.0      # 75 µs US / 50 µs EU; 0 disables
+    quad_rate: float = 0.0           # discriminator input rate; 0 ⇒ auto
+    audio_cutoff: float = 15000.0
+    atten_db: float = 80.0
+    conditioning: str = "shift"      # "shift" | "normalize"
+    block_seconds: float = 0.1       # target block duration
+
+    def resolved_quad_rate(self) -> float:
+        if self.quad_rate:
+            return self.quad_rate
+        # largest integer decimation keeping Carson bandwidth + margin;
+        # strongly prefer decimation-only audio chains (L == 1): upsampling
+        # needs lhs_dilation in the conv, which XLA:TPU compiles far more
+        # slowly than a plain strided conv (measured ~500 s vs seconds)
+        carson = 2.0 * (self.deviation + self.audio_cutoff)
+        dmax = max(1, int(self.sample_rate
+                          // max(carson * 1.6, 2 * self.audio_rate)))
+        for want_l1 in (True, False):
+            for d in range(dmax, 0, -1):
+                q = self.sample_rate / d
+                L, M = _rat(self.audio_rate / (q / 2.0))
+                if L > 64 or M > 4096:
+                    continue
+                if want_l1 and L != 1:
+                    continue
+                return q
+        return self.sample_rate
+
+
+class WbfmState(NamedTuple):
+    chan_hist: jax.Array    # [..., 2, Hc] I/Q channel-filter history
+    audio_hist: jax.Array   # [..., Ha]    audio resampler history
+    deemph_hist: jax.Array  # [..., Hd]    de-emphasis FIR history
+
+
+class WbfmPipeline:
+    """Jit-able per-block WBFM graph.  Blocks are continuous by design."""
+
+    def __init__(self, cfg: WbfmConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        fs = cfg.sample_rate
+        quad = cfg.resolved_quad_rate()
+
+        # stage 1: complex channel-select decimator fs → quad
+        L1, M1 = _rat(quad / fs)
+        carson = 2.0 * (cfg.deviation + cfg.audio_cutoff)
+        t1 = design_resampler_taps(
+            L1, M1, fs, cutoff=min(0.5 * carson * 1.1, 0.45 * quad),
+            atten_db=cfg.atten_db)
+        self.chan = PolyResampler(L1, M1, t1, dtype)
+
+        # stage 2: discriminator quad → quad/2 (ops.demod, 2:1 inherent)
+        demod_rate = quad / 2.0
+
+        # stage 3: audio resampler quad/2 → audio_rate, 15 kHz cutoff
+        L2, M2 = _rat(cfg.audio_rate / demod_rate)
+        t2 = design_resampler_taps(
+            L2, M2, demod_rate,
+            cutoff=min(cfg.audio_cutoff, 0.45 * cfg.audio_rate),
+            atten_db=cfg.atten_db)
+        self.audio = PolyResampler(L2, M2, t2, dtype)
+
+        # stage 4: de-emphasis as exact exponential-FIR projection
+        if cfg.deemphasis_us > 0:
+            a = math.exp(-1.0 / (cfg.audio_rate * cfg.deemphasis_us * 1e-6))
+            K = max(8, int(math.ceil(math.log(1e-12) / math.log(a))))
+            # PolyResampler computes y[m] = Σ_k h[k]·x[m−k]: h[k] weights the
+            # sample k steps in the past, so h[k] = (1−a)·aᵏ as-is
+            taps = (1.0 - a) * a ** np.arange(K, dtype=np.float64)
+            self.deemph = PolyResampler(1, 1, taps, dtype)
+        else:
+            self.deemph = None
+
+        self.gain = dtype(quad / (2.0 * math.pi * cfg.deviation))
+
+        # block geometry: complex samples per block such that every stage
+        # yields a static, integral output length
+        unit = self._block_unit()
+        target = int(cfg.block_seconds * fs)
+        self.block_complex = max(unit, (target // unit) * unit)
+        self.block_bytes = 2 * self.block_complex
+        q_len = self.block_complex * self.chan.L // self.chan.M
+        self.audio_per_block = (q_len // 2) * self.audio.L // self.audio.M
+
+    def _block_unit(self) -> int:
+        """Smallest complex-sample count giving integral lengths everywhere."""
+        c = self.chan
+        a = self.audio
+        # T·L1 % M1 == 0 ; (T·L1/M1) % 2 == 0 ; (T·L1/M1/2)·L2 % M2 == 0
+        u = c.M // math.gcd(c.L, c.M)
+        while True:
+            q = u * c.L // c.M
+            if q % 2 == 0 and (q // 2 * a.L) % a.M == 0:
+                return u
+            u += c.M // math.gcd(c.L, c.M)
+
+    # -- state ----------------------------------------------------------
+    def init_state(self, batch_shape=()) -> WbfmState:
+        return WbfmState(
+            chan_hist=self.chan.init_hist((*batch_shape, 2)),
+            audio_hist=self.audio.init_hist(batch_shape),
+            deemph_hist=(self.deemph.init_hist(batch_shape)
+                         if self.deemph else jnp.zeros((*batch_shape, 1),
+                                                       self.dtype)),
+        )
+
+    # -- forward ---------------------------------------------------------
+    def __call__(self, state: WbfmState, raw: jax.Array):
+        """raw: uint8 [..., block_bytes] → (state, audio [..., audio_per_block])."""
+        n = raw.shape[-1]
+        assert n == self.block_bytes, (n, self.block_bytes)
+        lead = raw.shape[:-1]
+        if self.cfg.conditioning == "normalize":
+            x = cond_ops.normalize_input(raw, self.dtype)
+        else:
+            x = cond_ops.shift_origin(raw, self.dtype)
+        iq = x.reshape(*lead, n // 2, 2)          # [..., T, 2]
+        iq = jnp.swapaxes(iq, -1, -2)             # [..., 2, T]
+        ciq, chan_hist = self.chan(iq, state.chan_hist)
+        # interleave back for the discriminator's pair layout
+        inter = jnp.swapaxes(ciq, -1, -2).reshape(*lead, -1)
+        d = demod_ops.fm_demod(inter, fast=True) * self.gain
+        audio, audio_hist = self.audio(d, state.audio_hist)
+        if self.deemph is not None:
+            audio, deemph_hist = self.deemph(audio, state.deemph_hist)
+        else:
+            deemph_hist = state.deemph_hist
+        return WbfmState(chan_hist, audio_hist, deemph_hist), audio

@@ -1,0 +1,162 @@
+"""Polyphase rational resampler (TPU-native, MXU-mapped).
+
+The reference has no resampler (`-S` only normalizes filter cutoffs,
+src/matrix.c:34; SURVEY.md §1 fact 2) — this is the framework extension
+behind BASELINE config 5 (WBFM: 2.4 Msps → 48 kHz audio).
+
+Design (host, float64): windowed-sinc lowpass under a Kaiser window.
+Application (device): L-fold upsample → FIR → M-fold decimate expressed as a
+single ``lax.conv_general_dilated`` with ``lhs_dilation=(L,)`` and
+``window_strides=(M,)`` — XLA lowers strided/dilated 1-D convolution onto
+the MXU, so the whole upfirdn is one systolic pass instead of the
+gather/scatter a CPU polyphase implementation needs.
+
+Streaming: blocks are glued with an input-side history of
+``ceil((K-1)/L)`` samples (overlap-save).  Block length T must satisfy
+``T·L % M == 0`` so every block yields the same static output length and the
+polyphase phase realigns to zero at each block boundary — no dynamic phase
+carry, which keeps shapes static under jit.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["kaiser_lowpass", "design_resampler_taps", "PolyResampler"]
+
+
+def kaiser_lowpass(num_taps: int, cutoff: float, fs: float,
+                   beta: float = 9.0) -> np.ndarray:
+    """Linear-phase lowpass: sinc(2·fc/fs) × Kaiser(beta), unit DC gain.
+    Host-side float64 design (like the reference's startup-time LREAL filter
+    design, src/filter.c:142-210 — ours is FIR because the application is a
+    stationary MXU conv, not a biquad recurrence)."""
+    if num_taps % 2 == 0:
+        num_taps += 1  # symmetric, integer group delay
+    n = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2
+    fc = 2.0 * cutoff / fs
+    h = fc * np.sinc(fc * n)
+    w = np.i0(beta * np.sqrt(1.0 - (2.0 * n / (num_taps - 1)) ** 2))
+    w /= np.i0(beta)
+    h *= w
+    return h / h.sum()
+
+
+def design_resampler_taps(L: int, M: int, fs_in: float,
+                          cutoff: float | None = None,
+                          atten_db: float = 80.0,
+                          transition: float | None = None) -> np.ndarray:
+    """Anti-alias/anti-image taps at the intermediate rate L·fs_in.
+
+    cutoff defaults to 90% of the tighter Nyquist (min(fs_in, fs_out)/2);
+    tap count from the Kaiser estimate for ``atten_db`` over ``transition``
+    (default: the band from cutoff to the tighter Nyquist).  DC gain L so
+    upsampling preserves amplitude.
+    """
+    fs_hi = fs_in * L
+    fs_out = fs_in * L / M
+    nyq = min(fs_in, fs_out) / 2.0
+    if cutoff is None:
+        cutoff = 0.9 * nyq
+    if transition is None:
+        transition = max(nyq - cutoff, 0.02 * nyq)
+    beta = (0.1102 * (atten_db - 8.7) if atten_db > 50 else
+            0.5842 * (atten_db - 21) ** 0.4 + 0.07886 * (atten_db - 21))
+    num_taps = int(math.ceil((atten_db - 7.95)
+                             / (2.285 * 2 * math.pi * transition / fs_hi)))
+    h = kaiser_lowpass(num_taps, cutoff, fs_hi, beta=beta)
+    return h * L
+
+
+class PolyResampler:
+    """Rational L/M resampler with streaming overlap-save history.
+
+    taps: 1-D float64 array at the rate L·fs_in (pass custom taps to reuse
+    this op as a plain streaming FIR with L = M = 1 — e.g. de-emphasis).
+    """
+
+    def __init__(self, L: int, M: int, taps: np.ndarray,
+                 dtype=jnp.float32):
+        g = math.gcd(L, M)
+        self.L, self.M = L // g, M // g
+        taps = np.asarray(taps, np.float64)
+        K = taps.shape[0]
+        self.dtype = dtype
+        if self.L == 1:
+            # Framed-matmul formulation (the common decimate/FIR case):
+            # y[m] = Σ_p  frames[m−p] · h_p   with M-wide frames and the taps
+            # zero-padded to P·M.  Pure static slices + dot products — XLA:TPU
+            # compiles 1-D conv_general_dilated on long signals pathologically
+            # slowly (~minutes), while this lowers to P fused multiply-reduce
+            # steps in seconds.
+            P = -(-K // self.M)
+            hp = np.zeros(P * self.M, np.float64)
+            hp[:K] = taps
+            # hmat[p, i] = h[p·M + (M−1−i)]  (frame i runs forward in time)
+            self.hmat = jnp.asarray(
+                hp.reshape(P, self.M)[:, ::-1].copy(), dtype)
+            self.P = P
+            self.hist_len = P * self.M - 1
+            self.kernel = None
+            return
+        # General rational case: upfirdn as a dilated/strided conv.
+        # history so every tap of the first output lands on real data
+        self.hist_len = max(1, -(-(K - 1) // self.L))
+        Kg = self.hist_len * self.L + 1
+        # correlation kernel: g[q] = h[hist_len·L − q], zero-padded
+        gk = np.zeros(Kg, np.float64)
+        src = np.arange(Kg)
+        idx = self.hist_len * self.L - src
+        ok = (idx >= 0) & (idx < K)
+        gk[src[ok]] = taps[idx[ok]]
+        self.kernel = jnp.asarray(gk[None, None, :], dtype)
+        # group delay of the symmetric taps, in output samples: the op
+        # computes the exact global upfirdn y[m] = Σ_j h[mM − jL]·x[j]
+        self.delay_out = (K - 1) / 2.0 / self.M
+
+    def out_len(self, T: int) -> int:
+        assert (T * self.L) % self.M == 0, \
+            f"block length {T} must satisfy T·{self.L} % {self.M} == 0"
+        return T * self.L // self.M
+
+    def init_hist(self, batch_shape=()) -> jax.Array:
+        return jnp.zeros((*batch_shape, self.hist_len), self.dtype)
+
+    def __call__(self, x: jax.Array, hist: jax.Array):
+        """x: [..., T] → (y [..., T·L/M], new_hist [..., hist_len])."""
+        T = x.shape[-1]
+        Tout = self.out_len(T)
+        lead = x.shape[:-1]
+        xc = jnp.concatenate(
+            [jnp.broadcast_to(hist, (*lead, self.hist_len)), x], axis=-1)
+        if self.kernel is None:
+            # framed matmul: xc local index of y[m]'s frame-i sample for
+            # shift p is (H+1−M−pM) + mM + i  (derivation in __init__)
+            H, M, P = self.hist_len, self.M, self.P
+            y = None
+            for p in range(P):
+                start = H + 1 - M - p * M
+                frames = jax.lax.slice_in_dim(
+                    xc, start, start + Tout * M, axis=-1
+                ).reshape(*lead, Tout, M)
+                term = jnp.einsum("...tm,m->...t", frames, self.hmat[p],
+                                  preferred_element_type=self.dtype)
+                y = term if y is None else y + term
+            new_hist = xc[..., xc.shape[-1] - self.hist_len:]
+            return y.astype(self.dtype), new_hist
+        lhs = xc.reshape(-1, 1, xc.shape[-1]).astype(self.dtype)
+        hi = max(0, self.L - self.M)
+        out = jax.lax.conv_general_dilated(
+            lhs, self.kernel,
+            window_strides=(self.M,),
+            padding=[(0, hi)],
+            lhs_dilation=(self.L,),
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            preferred_element_type=self.dtype,
+        )
+        y = out.reshape(*lead, -1)[..., :Tout]
+        new_hist = xc[..., xc.shape[-1] - self.hist_len:]
+        return y, new_hist

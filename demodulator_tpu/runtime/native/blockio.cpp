@@ -1,0 +1,168 @@
+// Native block IO runtime: double-buffered producer thread + bounded ring.
+//
+// TPU-native equivalent of the reference's producer half (src/main.c:58-98):
+// where the reference pairs one pthread with a depth-1 semaphore ping-pong
+// buffer, this runtime keeps a reader thread filling a depth-N ring of
+// page-aligned block buffers so host NVMe/pipe reads overlap both the
+// Python dispatch and device compute.  Exposed as a tiny C ABI consumed via
+// ctypes (no pybind11 in this environment); the Python BlockReader is the
+// portable fallback.
+//
+// Tail semantics mirror runtime/stream.py:
+//   * full blocks are produced verbatim;
+//   * a final partial read either terminates the stream (tail_pad=0 — the
+//     reference's drop-via-race behavior) or is overlaid on a copy of the
+//     previous block (tail_pad=1 — the reference's buffer-reuse layout,
+//     src/main.c:88 overwriting bufSize on the shared buffer).
+//
+// Build: g++ -O2 -shared -fPIC -pthread -o libblockio.so blockio.cpp
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <new>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Ring {
+    size_t block_size = 0;
+    int depth = 0;
+    bool tail_pad = false;
+
+    FILE* f = nullptr;
+    bool own_file = false;
+
+    std::vector<uint8_t*> slots;    // depth page-aligned buffers
+    std::vector<size_t> lens;       // filled length per slot
+    int head = 0, tail = 0, count = 0;
+    bool eof = false;
+    int error = 0;                  // errno-style
+
+    std::mutex mu;
+    std::condition_variable not_full, not_empty;
+    std::thread reader;
+    std::atomic<bool> closing{false};
+
+    uint8_t* prev = nullptr;        // last full block (tail_pad overlay)
+};
+
+void reader_main(Ring* r) {
+    size_t bs = r->block_size;
+    std::vector<uint8_t> local(bs);
+    for (;;) {
+        if (r->closing.load(std::memory_order_relaxed)) break;
+        size_t got = fread(local.data(), 1, bs, r->f);
+        if (got == 0) {
+            std::lock_guard<std::mutex> lk(r->mu);
+            if (ferror(r->f)) r->error = -2;  // reference exit code -2
+            r->eof = true;
+            r->not_empty.notify_all();
+            break;
+        }
+        bool partial = got < bs;
+        if (partial && !r->tail_pad) {
+            std::lock_guard<std::mutex> lk(r->mu);
+            r->eof = true;              // drop partial tail
+            r->not_empty.notify_all();
+            break;
+        }
+        std::unique_lock<std::mutex> lk(r->mu);
+        r->not_full.wait(lk, [r] {
+            return r->count < r->depth || r->closing.load();
+        });
+        if (r->closing.load()) break;
+        uint8_t* slot = r->slots[r->head];
+        if (partial) {                   // overlay on previous block bytes
+            memcpy(slot, r->prev, bs);
+            memcpy(slot, local.data(), got);
+        } else {
+            memcpy(slot, local.data(), bs);
+            memcpy(r->prev, local.data(), bs);
+        }
+        r->lens[r->head] = bs;
+        r->head = (r->head + 1) % r->depth;
+        r->count++;
+        r->not_empty.notify_one();
+        if (partial) {
+            r->eof = true;
+            r->not_empty.notify_all();
+            break;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bio_open(const char* path, size_t block_size, int depth, int tail_pad) {
+    if (block_size == 0 || depth < 1) return nullptr;
+    Ring* r = new (std::nothrow) Ring();
+    if (!r) return nullptr;
+    r->block_size = block_size;
+    r->depth = depth;
+    r->tail_pad = tail_pad != 0;
+    if (strcmp(path, "-") == 0) {
+        r->f = stdin;
+    } else {
+        r->f = fopen(path, "rb");
+        r->own_file = true;
+    }
+    if (!r->f) { delete r; return nullptr; }
+    r->slots.assign(depth, nullptr);
+    r->lens.assign(depth, 0);
+    bool ok = true;
+    for (int i = 0; i < depth && ok; i++) {
+        void* p = nullptr;
+        ok = posix_memalign(&p, 4096, block_size) == 0;
+        r->slots[i] = ok ? static_cast<uint8_t*>(p) : nullptr;
+    }
+    r->prev = ok ? static_cast<uint8_t*>(calloc(1, block_size)) : nullptr;
+    if (!r->prev) {
+        for (auto* p : r->slots) free(p);
+        if (r->own_file) fclose(r->f);
+        delete r;
+        return nullptr;
+    }
+    r->reader = std::thread(reader_main, r);
+    return r;
+}
+
+// Copy the next block into out.  Returns block_size, 0 on clean EOF,
+// negative on IO error (-2 mirrors the reference's ferror exit code).
+long bio_next(void* h, uint8_t* out) {
+    Ring* r = static_cast<Ring*>(h);
+    std::unique_lock<std::mutex> lk(r->mu);
+    r->not_empty.wait(lk, [r] { return r->count > 0 || r->eof; });
+    if (r->count == 0) return r->error ? r->error : 0;
+    uint8_t* slot = r->slots[r->tail];
+    size_t len = r->lens[r->tail];
+    memcpy(out, slot, len);
+    r->tail = (r->tail + 1) % r->depth;
+    r->count--;
+    r->not_full.notify_one();
+    return static_cast<long>(len);
+}
+
+void bio_close(void* h) {
+    Ring* r = static_cast<Ring*>(h);
+    r->closing.store(true);
+    {
+        std::lock_guard<std::mutex> lk(r->mu);
+        r->not_full.notify_all();
+        r->not_empty.notify_all();
+    }
+    if (r->reader.joinable()) r->reader.join();
+    for (auto* p : r->slots) free(p);
+    free(r->prev);
+    if (r->own_file) fclose(r->f);
+    delete r;
+}
+
+}  // extern "C"

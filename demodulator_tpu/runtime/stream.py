@@ -83,18 +83,54 @@ class StreamProcessor:
     """
 
     def __init__(self, cfg: DemodConfig, fast_atan2: bool = False,
-                 inflight: int = 2):
+                 inflight: int = 2, pipeline=None, use_native: bool = True):
+        """``pipeline`` overrides the NBFM BlockPipeline with any per-block
+        model exposing init_state() / __call__(state, raw) / block_bytes
+        (e.g. models.wbfm.WbfmPipeline)."""
+        import jax
         self.cfg = cfg
-        self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
-        self.fn = self.pipe.jit_block_fn()
+        if pipeline is None:
+            self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
+            self.fn = self.pipe.jit_block_fn()
+            self.block_bytes = cfg.buf_size
+        else:
+            self.pipe = pipeline
+            self.fn = jax.jit(pipeline.__call__)
+            self.block_bytes = pipeline.block_bytes
         self.inflight = max(1, inflight)
+        self.use_native = use_native
+
+    def _make_reader(self, fin: BinaryIO, tail_policy: str):
+        """Prefer the native C++ ring-buffer reader (runtime/native) when the
+        input is a real file or stdin; any other BinaryIO uses the Python
+        reader.  Both yield identical full uint8 blocks."""
+        if self.use_native:
+            import sys
+            path = None
+            if fin is sys.stdin.buffer:
+                path = "-"
+            else:
+                name = getattr(fin, "name", None)
+                if isinstance(name, str) and name not in ("<stdin>",):
+                    import os
+                    if os.path.exists(name):
+                        path = name
+            if path is not None:
+                try:
+                    from . import native
+                    if native.available():
+                        return native.NativeBlockReader(
+                            path, self.block_bytes, tail_policy=tail_policy)
+                except Exception:
+                    pass  # fall back to the Python reader
+        return BlockReader(fin, self.block_bytes, tail_policy=tail_policy)
 
     def run(self, fin: BinaryIO, fout: BinaryIO,
             tail_policy: str | None = None) -> int:
         """Process the stream; returns number of blocks emitted."""
         if tail_policy is None:
             tail_policy = "drop" if self.cfg.profile == "compat" else "pad"
-        reader = BlockReader(fin, self.cfg.buf_size, tail_policy=tail_policy)
+        reader = self._make_reader(fin, tail_policy)
         state = self.pipe.init_state()
         pending: list = []
         blocks = 0
@@ -103,10 +139,10 @@ class StreamProcessor:
             state, out = self.fn(state, raw)
             pending.append(out)
             if len(pending) >= self.inflight:
-                np.asarray(pending.pop(0), dtype=out_dtype).tofile(fout)
+                fout.write(np.asarray(pending.pop(0), dtype=out_dtype).tobytes())
                 blocks += 1
         for out in pending:
-            np.asarray(out, dtype=out_dtype).tofile(fout)
+            fout.write(np.asarray(out, dtype=out_dtype).tobytes())
             blocks += 1
         fout.flush()
         return blocks

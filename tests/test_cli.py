@@ -65,3 +65,19 @@ def test_cli_tail_pad_extension(iq_data):
     out = run_cli(iq_data.tobytes() + b"\x7f" * 777,
                   ["-S", "192000", "-l", "12500", "-b", "-6", "--tail", "pad"])
     assert len(out) == 4 * 1024
+
+
+def test_cli_wbfm_extension():
+    """--wbfm: broadcast chain recovers a 1 kHz tone at 48 kHz out."""
+    from tests.test_wbfm import synth_wbfm
+    from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+    pipe = WbfmPipeline(WbfmConfig(block_seconds=0.02))
+    n = 2 * pipe.block_complex
+    raw, _ = synth_wbfm(2.4e6, 60000.0, [(1000.0, 1.0)], n)
+    # CLI uses default 0.1 s blocks; feed enough for at least 1 block
+    raw_full, _ = synth_wbfm(2.4e6, 60000.0, [(1000.0, 1.0)], 3 * 240000)
+    out = run_cli(raw_full.tobytes(), ["--wbfm"], stdin_io=True)
+    assert len(out) > 0 and len(out) % 4800 == 0
+    f = np.fft.rfftfreq(len(out), 1 / 48000.0)
+    mag = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    assert abs(f[np.argmax(mag[5:]) + 5] - 1000.0) < 20.0

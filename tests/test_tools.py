@@ -1,0 +1,115 @@
+"""Tooling parity: rtltcp fan-out server and plot scope."""
+import os
+import socket
+import struct
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import rtltcp  # noqa: E402
+
+
+def _fake_rtl_tcp_daemon(payload: bytes, commands_out: list):
+    """Minimal rtl_tcp server: records commands, streams payload."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+
+    def run():
+        c, _ = srv.accept()
+        c.settimeout(5.0)
+
+        def drain():
+            try:
+                while True:
+                    b = c.recv(5)
+                    if len(b) < 5:
+                        return
+                    cmd, val = struct.unpack(">BI", b)
+                    commands_out.append((cmd, val))
+            except OSError:
+                pass
+
+        threading.Thread(target=drain, daemon=True).start()
+        time.sleep(0.2)
+        try:
+            c.sendall(payload)
+            time.sleep(0.5)
+            c.close()
+        except OSError:
+            pass
+        srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return srv.getsockname()[1]
+
+
+def test_send_command_wire_format():
+    a, b = socket.socketpair()
+    rtltcp.send_command(a, "frequency", 94900000)
+    assert b.recv(5) == struct.pack(">BI", 0x01, 94900000)
+    a.close()
+    b.close()
+
+
+def test_fanout_two_clients_get_full_stream():
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+    cmds: list = []
+    port = _fake_rtl_tcp_daemon(payload, cmds)
+    up = socket.create_connection(("127.0.0.1", port))
+    rtltcp.send_command(up, "sample_rate", 250000)
+    srv = rtltcp.FanOutServer(up, 0)  # ephemeral listen port
+    received = [b"", b""]
+
+    def client(i):
+        c = socket.create_connection(("127.0.0.1", srv.port))
+        c.settimeout(5.0)
+        try:
+            while True:
+                d = c.recv(8192)
+                if not d:
+                    break
+                received[i] += d
+        except OSError:
+            pass
+        c.close()
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    time.sleep(0.1)  # both connected before the daemon starts streaming
+    for t in threads:
+        t.join(timeout=10)
+    srv.close()
+    assert received[0] == payload
+    assert received[1] == payload
+    assert (0x02, 250000) in cmds  # sample_rate command reached the daemon
+
+
+def test_plot_once_renders_png(tmp_path):
+    pytest.importorskip("matplotlib")
+    audio = np.sin(np.linspace(0, 2 * np.pi * 100, 4096)).astype(np.float32)
+    out = tmp_path / "scope.png"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plot.py"),
+         "96000", "--once", str(out)],
+        input=audio.tobytes(), capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plot_reader_chunking():
+    import plot
+    import io
+    data = np.arange(10000, dtype=np.float32)
+    chunks = list(plot.reader(io.BytesIO(data.tobytes()), 4096, np.float32))
+    assert len(chunks) == 2  # partial tail dropped
+    np.testing.assert_array_equal(chunks[0], data[:4096])
