@@ -32,7 +32,10 @@ def parse_args(argv):
     extras = {"profile": "compat", "precision": "float32", "fast_atan2": False,
               "tail": None, "verbose_design": False, "wbfm": False,
               "iq_rate": "2400000", "audio_rate": "48000",
-              "deviation": "75000", "deemphasis": "75"}
+              "deviation": "75000", "deemphasis": "75",
+              "checkpoint": None, "checkpoint_every": "64", "resume": False,
+              "metrics": False, "trace": None,
+              "bank": None, "channel_rate": "192000"}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -42,8 +45,14 @@ def parse_args(argv):
             extras["verbose_design"] = True
         elif a == "--wbfm":
             extras["wbfm"] = True
+        elif a == "--resume":
+            extras["resume"] = True
+        elif a == "--metrics":
+            extras["metrics"] = True
         elif a in ("--profile", "--precision", "--tail", "--iq-rate",
-                   "--audio-rate", "--deviation", "--deemphasis"):
+                   "--audio-rate", "--deviation", "--deemphasis",
+                   "--checkpoint", "--checkpoint-every", "--trace",
+                   "--bank", "--channel-rate"):
             i += 1
             if i >= len(argv):
                 raise SystemExit(f"option {a} requires an argument")
@@ -99,6 +108,44 @@ def _enable_compile_cache():
         pass  # cache is best-effort
 
 
+def _run_bank(cfg, opts, extras, fin, oarg) -> int:
+    """--bank f1,f2,...: channel-bank mode (models/channel_bank.py).  The -o
+    argument is a filename template; each channel writes <out>.ch<N>.raw
+    (stdout is refused — N parallel streams don't interleave usefully)."""
+    import numpy as np
+    from .models.channel_bank import ChannelBankConfig, ChannelBankPipeline
+    from .runtime.stream import BlockReader
+    if "-" in oarg:
+        print("--bank requires a file -o (one output per channel)",
+              file=sys.stderr)
+        return -1
+    offsets = tuple(float(v) for v in extras["bank"].split(","))
+    bcfg = ChannelBankConfig(sample_rate=float(extras["iq_rate"]),
+                             channel_rate=float(extras["channel_rate"]),
+                             offsets_hz=offsets,
+                             lowpass_out=cfg.lowpass_out,
+                             out_filter_degree=cfg.out_filter_degree,
+                             out_filter_family=cfg.out_filter_family(),
+                             epsilon=cfg.epsilon)
+    import jax
+    pipe = ChannelBankPipeline(bcfg)
+    fn = jax.jit(pipe.__call__)
+    state = pipe.init_state()
+    outs = [open(f"{oarg}.ch{c}.raw", "wb") for c in range(len(offsets))]
+    try:
+        reader = BlockReader(fin, pipe.block_bytes,
+                             tail_policy=extras["tail"] or "drop")
+        for raw in reader:
+            state, audio = fn(state, raw)
+            audio = np.asarray(audio, dtype=np.float32)
+            for c, f in enumerate(outs):
+                f.write(audio[c].tobytes())
+    finally:
+        for f in outs:
+            f.close()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
@@ -121,8 +168,19 @@ def main(argv=None) -> int:
     fin = sys.stdin.buffer if "-" in iarg else open(iarg, "rb")
     fout = sys.stdout.buffer if "-" in oarg else open(oarg, "wb")
     _enable_compile_cache()
+    trace_ctx = None
+    if extras["trace"]:
+        import jax
+        jax.profiler.start_trace(extras["trace"])
+        trace_ctx = extras["trace"]
     try:
         from .runtime.stream import StreamProcessor
+        run_kw = {"tail_policy": extras["tail"],
+                  "checkpoint_path": extras["checkpoint"],
+                  "checkpoint_every": int(extras["checkpoint_every"]),
+                  "resume": extras["resume"]}
+        if extras["bank"]:
+            return _run_bank(cfg, opts, extras, fin, oarg)
         if extras["wbfm"]:
             from .models.wbfm import WbfmConfig, WbfmPipeline
             wcfg = WbfmConfig(sample_rate=float(extras["iq_rate"]),
@@ -130,11 +188,28 @@ def main(argv=None) -> int:
                               deviation=float(extras["deviation"]),
                               deemphasis_us=float(extras["deemphasis"]))
             proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg))
-            proc.run(fin, fout, tail_policy=extras["tail"] or "drop")
+            run_kw["tail_policy"] = extras["tail"] or "drop"
         else:
             proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"])
-            proc.run(fin, fout, tail_policy=extras["tail"])
+        if extras["metrics"]:
+            from .utils.metrics import StreamMetrics
+            run_kw["metrics"] = StreamMetrics(proc.block_bytes,
+                                              proc.block_bytes // 2)
+        try:
+            proc.run(fin, fout, **run_kw)
+        except Exception as e:
+            from .runtime.checkpoint import CheckpointError
+            if isinstance(e, CheckpointError):
+                print(f"checkpoint error: {e}", file=sys.stderr)
+                return -1
+            raise
+        if extras["metrics"]:
+            import json as _json
+            print(_json.dumps(run_kw["metrics"].final()), file=sys.stderr)
     finally:
+        if trace_ctx:
+            import jax
+            jax.profiler.stop_trace()
         if fin is not sys.stdin.buffer:
             fin.close()
         if fout is not sys.stdout.buffer:

@@ -1,0 +1,172 @@
+"""Multi-channel NBFM bank (BASELINE config 4 — framework extension).
+
+One wideband uint8 IQ capture → N simultaneous NBFM channels:
+
+    conditioning (shiftOrigin semantics, src/matrix.c:82-98)
+      → complex mixer bank: per-channel frequency shift by a precomputed
+        [C, T] cos/sin LUT (host float64 at build time; zero runtime
+        transcendentals) × a per-channel carry phasor for block continuity
+      → per-channel decimation fs → channel_rate (framed-matmul
+        PolyResampler broadcast over [C, iq] — MXU work)
+      → quadrature discriminator (conj-product + atan2, 2:1 decim,
+        src/matrix.c:159-176 semantics)
+      → reference-designed audio lowpass (§2.4 Butterworth/Cheby-I SOS →
+        stationary FIR taps), applied causally with a constant D-sample
+        group delay via the streaming-FIR PolyResampler
+
+The channel axis is embarrassingly parallel — it is the mesh's ``chan``
+(data-parallel) axis; shard the leading [C] dim with
+``parallel.mesh.make_demod_mesh`` + NamedSharding and every stage runs
+SPMD with zero communication.  The reference has no channelizer at all
+(single stream end-to-end, SURVEY.md §1); this model is the "DP over
+channel banks" story of §2.10.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DemodConfig
+from ..design.biquad import design_sos
+from ..ops import conditioning as cond_ops
+from ..ops import demod as demod_ops
+from ..ops.fir import extract_real_fir
+from ..ops.fir_apply import JRealFir
+from ..ops.resample import PolyResampler, design_resampler_taps
+
+__all__ = ["ChannelBankConfig", "ChannelBankState", "ChannelBankPipeline"]
+
+
+@dataclasses.dataclass
+class ChannelBankConfig:
+    sample_rate: float = 12288000.0      # wideband input rate (64 × 192 kHz)
+    channel_rate: float = 192000.0       # per-channel complex rate
+    offsets_hz: Sequence[float] = ()     # channel centers rel. to capture DC
+    lowpass_out: float = 12500.0         # audio cutoff (reference -l)
+    out_filter_degree: int = 3           # reference -d
+    out_filter_family: int = 0           # 0 Butterworth, 1 Cheby-I
+    epsilon: float = 0.3
+    atten_db: float = 70.0
+    block_seconds: float = 0.01
+
+    def num_channels(self) -> int:
+        return len(self.offsets_hz)
+
+    def decim(self) -> int:
+        d = self.sample_rate / self.channel_rate
+        if abs(d - round(d)) > 1e-9:
+            raise ValueError("sample_rate must be an integer multiple of "
+                             "channel_rate")
+        return int(round(d))
+
+
+class ChannelBankState(NamedTuple):
+    phasor: jax.Array     # [C, 2] mixer carry (cos, −sin of accrued phase)
+    chan_hist: jax.Array  # [C, 2, Hc] decimator history
+    audio_hist: jax.Array  # [C, Ha] audio FIR history
+
+
+class ChannelBankPipeline:
+    """Jit-able per-block channel bank.  Output: [C, audio_per_block]."""
+
+    def __init__(self, cfg: ChannelBankConfig, dtype=jnp.float32):
+        if not cfg.offsets_hz:
+            raise ValueError("offsets_hz must name at least one channel")
+        self.cfg = cfg
+        self.dtype = dtype
+        fs = cfg.sample_rate
+        D = cfg.decim()
+        C = cfg.num_channels()
+
+        # block geometry: wideband complex samples per block — multiple of
+        # D with an even channel-rate count (discriminator pairs)
+        unit = 2 * D
+        target = int(cfg.block_seconds * fs)
+        self.block_complex = max(unit, (target // unit) * unit)
+        self.block_bytes = 2 * self.block_complex
+        T = self.block_complex
+        self.chan_complex = T // D
+        self.audio_per_block = self.chan_complex // 2
+
+        # mixer LUT: e^{−j·2π·f_c·n/fs} for n in [0, T), host float64 once
+        n = np.arange(T, dtype=np.float64)
+        fr = np.asarray(cfg.offsets_hz, np.float64)[:, None] / fs
+        theta = -2.0 * np.pi * (fr * n % 1.0)
+        self.lut_cos = jnp.asarray(np.cos(theta), dtype)   # [C, T]
+        self.lut_sin = jnp.asarray(np.sin(theta), dtype)
+        # per-block phasor rotation e^{−j·2π·f_c·T/fs}
+        rot = -2.0 * np.pi * (fr[:, 0] * T % 1.0)
+        self.rot = jnp.asarray(np.stack([np.cos(rot), np.sin(rot)], -1),
+                               dtype)                       # [C, 2]
+
+        # channel-select decimator (anti-alias at the channel Nyquist)
+        taps = design_resampler_taps(1, D, fs,
+                                     cutoff=0.45 * cfg.channel_rate,
+                                     atten_db=cfg.atten_db)
+        self.chan = PolyResampler(1, D, taps, dtype)
+
+        # audio filter: the reference's SOS design → stationary FIR taps
+        # (JRealFir interior response), applied causally with group delay
+        # equal to the anti-causal reach self.delay
+        sos = design_sos(cfg.out_filter_family, cfg.out_filter_degree,
+                         cfg.lowpass_out, cfg.channel_rate, cfg.epsilon,
+                         dtype=np.float64)
+        fir = JRealFir(extract_real_fir(sos), dtype=dtype)
+        causal = np.asarray(fir.taps, np.float64)[::-1].copy()
+        self.audio = PolyResampler(1, 1, causal, dtype)
+        self.delay = len(causal) - 1  # samples of constant audio latency
+
+    # -- state ----------------------------------------------------------
+    def init_state(self) -> ChannelBankState:
+        C = self.cfg.num_channels()
+        ph = jnp.zeros((C, 2), self.dtype).at[:, 0].set(1.0)
+        return ChannelBankState(
+            phasor=ph,
+            chan_hist=self.chan.init_hist((C, 2)),
+            audio_hist=self.audio.init_hist((C,)),
+        )
+
+    # -- forward ---------------------------------------------------------
+    def __call__(self, state: ChannelBankState, raw: jax.Array):
+        """raw: uint8 [block_bytes] → (state, audio [C, audio_per_block])."""
+        assert raw.shape[-1] == self.block_bytes
+        x = cond_ops.shift_origin(raw, self.dtype)
+        xi, xq = x[0::2], x[1::2]                         # [T]
+
+        # mixer: (xi + j·xq) · (lc + j·ls) · (pc + j·ps)
+        pc, ps = state.phasor[:, :1], state.phasor[:, 1:]  # [C, 1]
+        lc = self.lut_cos * pc - self.lut_sin * ps         # [C, T]
+        ls = self.lut_sin * pc + self.lut_cos * ps
+        mi = xi * lc - xq * ls
+        mq = xi * ls + xq * lc
+
+        iq = jnp.stack([mi, mq], axis=1)                   # [C, 2, T]
+        ciq, chan_hist = self.chan(iq, state.chan_hist)    # [C, 2, Tc]
+        inter = jnp.swapaxes(ciq, -1, -2).reshape(ciq.shape[0], -1)
+        d = demod_ops.fm_demod(inter, fast=True)           # [C, Tc/2]
+        audio, audio_hist = self.audio(d, state.audio_hist)
+
+        # advance + renormalize the carry phasor (f32 drift control)
+        npc = pc[:, 0] * self.rot[:, 0] - ps[:, 0] * self.rot[:, 1]
+        nps = pc[:, 0] * self.rot[:, 1] + ps[:, 0] * self.rot[:, 0]
+        norm = jax.lax.rsqrt(npc * npc + nps * nps)
+        phasor = jnp.stack([npc * norm, nps * norm], axis=-1)
+        return ChannelBankState(phasor, chan_hist, audio_hist), audio
+
+    # -- sharding --------------------------------------------------------
+    def shard_over(self, mesh, state: ChannelBankState):
+        """Place the [C]-leading state (and LUTs) over the mesh's chan axis;
+        returns (sharded_state, out_sharding) for jit donate/out_shardings."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import CHAN_AXIS
+        chan = NamedSharding(mesh, P(CHAN_AXIS))
+        self.lut_cos = jax.device_put(self.lut_cos, chan)
+        self.lut_sin = jax.device_put(self.lut_sin, chan)
+        self.rot = jax.device_put(self.rot, chan)
+        state = jax.tree.map(lambda a: jax.device_put(a, chan), state)
+        return state, chan

@@ -41,7 +41,7 @@ def _build() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB)
         lib.bio_open.restype = ctypes.c_void_p
         lib.bio_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
-                                 ctypes.c_int, ctypes.c_int]
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_long]
         lib.bio_next.restype = ctypes.c_long
         lib.bio_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.bio_close.restype = None
@@ -59,14 +59,14 @@ class NativeBlockReader:
     read by the C++ producer thread into a depth-N aligned ring."""
 
     def __init__(self, path: str, block_size: int, depth: int = 4,
-                 tail_policy: str = "drop"):
+                 tail_policy: str = "drop", offset: int = 0):
         lib = _build()
         if lib is None:
             raise RuntimeError("native blockio unavailable (no g++?)")
         self._lib = lib
         self.block_size = block_size
         self._h = lib.bio_open(path.encode(), block_size, depth,
-                               1 if tail_policy == "pad" else 0)
+                               1 if tail_policy == "pad" else 0, offset)
         if not self._h:
             raise OSError(f"bio_open failed for {path!r}")
         self.error = None

@@ -101,8 +101,10 @@ void reader_main(Ring* r) {
 
 extern "C" {
 
-void* bio_open(const char* path, size_t block_size, int depth, int tail_pad) {
-    if (block_size == 0 || depth < 1) return nullptr;
+// offset: initial byte position (files only; must be 0 for stdin).
+void* bio_open(const char* path, size_t block_size, int depth, int tail_pad,
+               long offset) {
+    if (block_size == 0 || depth < 1 || offset < 0) return nullptr;
     Ring* r = new (std::nothrow) Ring();
     if (!r) return nullptr;
     r->block_size = block_size;
@@ -115,6 +117,13 @@ void* bio_open(const char* path, size_t block_size, int depth, int tail_pad) {
         r->own_file = true;
     }
     if (!r->f) { delete r; return nullptr; }
+    if (offset > 0) {
+        if (r->f == stdin || fseek(r->f, offset, SEEK_SET) != 0) {
+            if (r->own_file) fclose(r->f);
+            delete r;
+            return nullptr;
+        }
+    }
     r->slots.assign(depth, nullptr);
     r->lens.assign(depth, 0);
     bool ok = true;

@@ -100,7 +100,8 @@ class StreamProcessor:
         self.inflight = max(1, inflight)
         self.use_native = use_native
 
-    def _make_reader(self, fin: BinaryIO, tail_policy: str):
+    def _make_reader(self, fin: BinaryIO, tail_policy: str,
+                     offset: int = 0):
         """Prefer the native C++ ring-buffer reader (runtime/native) when the
         input is a real file or stdin; any other BinaryIO uses the Python
         reader.  Both yield identical full uint8 blocks."""
@@ -115,34 +116,83 @@ class StreamProcessor:
                     import os
                     if os.path.exists(name):
                         path = name
-            if path is not None:
+            if path is not None and not (path == "-" and offset):
                 try:
                     from . import native
                     if native.available():
                         return native.NativeBlockReader(
-                            path, self.block_bytes, tail_policy=tail_policy)
+                            path, self.block_bytes, tail_policy=tail_policy,
+                            offset=offset)
                 except Exception:
                     pass  # fall back to the Python reader
         return BlockReader(fin, self.block_bytes, tail_policy=tail_policy)
 
     def run(self, fin: BinaryIO, fout: BinaryIO,
-            tail_policy: str | None = None) -> int:
-        """Process the stream; returns number of blocks emitted."""
+            tail_policy: str | None = None,
+            checkpoint_path: str | None = None,
+            checkpoint_every: int = 64,
+            resume: bool = False,
+            metrics=None) -> int:
+        """Process the stream; returns number of blocks emitted.
+
+        checkpoint_path/resume: save carry state + byte offset every
+        ``checkpoint_every`` blocks (and at EOF); resuming seeks ``fin``
+        to the saved offset (requires a seekable input) and restores state.
+        metrics: optional utils.metrics.StreamMetrics.
+        """
         if tail_policy is None:
             tail_policy = "drop" if self.cfg.profile == "compat" else "pad"
-        reader = self._make_reader(fin, tail_policy)
         state = self.pipe.init_state()
-        pending: list = []
         blocks = 0
+        byte_offset = 0
+        if resume:
+            if not checkpoint_path:
+                raise ValueError("resume requires checkpoint_path")
+            from .checkpoint import load_checkpoint
+            state, byte_offset, blocks = load_checkpoint(
+                checkpoint_path, state, cfg=self.cfg)
+            fin.seek(byte_offset)
+        reader = self._make_reader(fin, tail_policy, offset=byte_offset)
+        pending: list = []
         out_dtype = self.cfg.np_dtype()
+
+        def ckpt():
+            if checkpoint_path:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state_done,
+                                byte_offset=byte_offset + done * self.block_bytes,
+                                blocks=blocks, cfg=self.cfg)
+
+        done = 0            # blocks fully written since (re)start
+        state_done = state  # carry state as of `done` blocks
+        state_q: list = []  # host copies paired with pending outputs
         for raw in reader:
             state, out = self.fn(state, raw)
             pending.append(out)
+            if checkpoint_path:
+                # materialize now: the device buffers are donated (hence
+                # deleted) by the next fn call
+                import jax as _jax
+                state_q.append(_jax.tree.map(np.asarray, state))
+            else:
+                state_q.append(None)
             if len(pending) >= self.inflight:
-                fout.write(np.asarray(pending.pop(0), dtype=out_dtype).tobytes())
+                fout.write(np.asarray(pending.pop(0),
+                                      dtype=out_dtype).tobytes())
+                state_done = state_q.pop(0)
                 blocks += 1
+                done += 1
+                if metrics is not None:
+                    metrics.block_done()
+                if checkpoint_path and done % checkpoint_every == 0:
+                    ckpt()
         for out in pending:
             fout.write(np.asarray(out, dtype=out_dtype).tobytes())
+            state_done = state_q.pop(0)
             blocks += 1
+            done += 1
+            if metrics is not None:
+                metrics.block_done()
         fout.flush()
+        ckpt()
         return blocks

@@ -81,3 +81,34 @@ def test_cli_wbfm_extension():
     f = np.fft.rfftfreq(len(out), 1 / 48000.0)
     mag = np.abs(np.fft.rfft(out * np.hanning(len(out))))
     assert abs(f[np.argmax(mag[5:]) + 5] - 1000.0) < 20.0
+
+
+def test_cli_channel_bank(tmp_path):
+    """--bank: two channels demodulated to separate per-channel files."""
+    import tempfile
+    import shutil
+    from tests.test_channel_bank import synth_bank
+    tmp = tempfile.mkdtemp(prefix="bankcli", dir="/tmp")  # no '-' in paths
+    try:
+        fs, offs, tones = 768000.0, (-192000.0, 192000.0), (800.0, 2000.0)
+        raw = synth_bank(fs, offs, tones, 4 * 7680)
+        src = os.path.join(tmp, "wide.iq")
+        with open(src, "wb") as f:
+            f.write(raw.tobytes())
+        out = os.path.join(tmp, "audio")
+        r = subprocess.run(
+            [sys.executable, "-m", "demodulator_tpu", "-i", src, "-o", out,
+             "-l", "12500", "--bank", "-192000,192000",
+             "--iq-rate", "768000", "--channel-rate", "192000"],
+            capture_output=True, env=ENV,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, r.stderr.decode()
+        for c, tone in enumerate(tones):
+            a = np.fromfile(f"{out}.ch{c}.raw", dtype=np.float32)
+            assert len(a) > 0
+            a = a[len(a) // 4:]
+            f = np.fft.rfftfreq(len(a), 1 / 96000.0)
+            mag = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+            assert abs(f[np.argmax(mag[3:]) + 3] - tone) < 30.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
