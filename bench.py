@@ -29,17 +29,31 @@ def main():
     B = 256   # blocks per step: 64 MiB uint8 in, 64 MiB float32 out
     N = 30    # on-device iterations per timing call
     rng = np.random.default_rng(0)
-    raw = jax.device_put(
-        rng.integers(0, 256, size=(B, cfg.buf_size), dtype=np.uint8))
+    raw_np = rng.integers(0, 256, size=(B, cfg.buf_size), dtype=np.uint8)
     state = pipe.init_state()
+    use_u32 = pipe._use_fused()
+    if use_u32:
+        # host-side reinterpret (free) — the device never repacks u8→u32
+        raw = jax.device_put(raw_np.view(np.uint32))
+        step = lambda s, r: pipe.fused_call_u32(s, r)[1]
+        poke = jnp.uint32
+    else:
+        raw = jax.device_put(raw_np)
+        step = lambda s, r: pipe(s, r)[1]
+        poke = jnp.uint8
 
     @jax.jit
     def bench(raw):
-        def body(i, acc):
-            r2 = raw.at[0, 0].set(i.astype(jnp.uint8))  # defeat CSE
-            out = pipe(state, r2)[1]
-            return acc + out[0, 0] + out[-1, -1]
-        return jax.lax.fori_loop(0, N, body, jnp.float32(0))
+        # Defeat loop-invariant hoisting without copying the input: the
+        # buffer rides the loop carry, so XLA aliases it in place and each
+        # iteration's one-element poke only touches one row.
+        def body(i, carry):
+            r, acc = carry
+            r = jax.lax.dynamic_update_slice(
+                r, i.astype(poke)[None, None], (i % B, 0))
+            out = step(state, r)
+            return r, acc + out[0, 0] + out[-1, -1]
+        return jax.lax.fori_loop(0, N, body, (raw, jnp.float32(0)))[1]
 
     float(bench(raw))  # compile + warmup
     t0 = time.perf_counter()

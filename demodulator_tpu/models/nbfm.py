@@ -97,26 +97,39 @@ class BlockPipeline:
     def fused_call(self, state: PipelineState, raw: jax.Array,
                    interpret: bool = False):
         """Fused-kernel path (ops.pallas.fused_nbfm): single VMEM pass per
-        block + the tiny f64 head-row patch computed in XLA."""
-        from ..ops.pallas.fused_nbfm import fused_nbfm
+        block + the tiny f64 head-row patch computed in XLA.  uint8 input;
+        pays one device-side u8→u32 relayout — the streaming runtime and
+        bench use fused_call_u32 with a host-viewed uint32 buffer instead."""
+        assert self.fused_eligible
+        n = self.cfg.buf_size
+        lead = raw.shape[:-1]
+        u32 = jax.lax.bitcast_convert_type(
+            raw.reshape(-1, n // 4, 4), jnp.uint32)
+        state, audio = self.fused_call_u32(state, u32, interpret=interpret)
+        return state, audio.reshape(*lead, n >> 2)
+
+    def fused_call_u32(self, state: PipelineState, u32: jax.Array,
+                       interpret: bool = False):
+        """u32: uint32 [B, buf_size/4] (raw bytes .view(np.uint32) on the
+        host) → (state, audio [B, buf_size/4])."""
+        from ..ops.pallas.fused_nbfm import fused_nbfm_u32
         assert self.fused_eligible
         cfg = self.cfg
-        n = cfg.buf_size
-        lead = raw.shape[:-1]
-        raw2 = raw.reshape(-1, n)
         kind = cfg.conditioning_kind()
         name = "normalize" if kind == 3 else "shift"
         taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
-        audio = fused_nbfm(raw2, taps, name, interpret=interpret)
-        # f64 head patch: demod of the first Wh samples (4 bytes each)
+        audio = fused_nbfm_u32(u32, taps, name, interpret=interpret)
+        # f64 head patch: demod of the first Wh samples (1 u32 word each);
+        # .at.set over H columns aliases in place — no full-output copy
         W = self.out_fir.Wh
-        raw_head = raw2[:, : 4 * W]
-        xh = (cond_ops.normalize_input(raw_head, self.dtype) if kind == 3
-              else cond_ops.shift_origin(raw_head, self.dtype))
+        head_bytes = jax.lax.bitcast_convert_type(
+            u32[:, :W], jnp.uint8).reshape(-1, 4 * W)
+        xh = (cond_ops.normalize_input(head_bytes, self.dtype) if kind == 3
+              else cond_ops.shift_origin(head_bytes, self.dtype))
         dh = demod_ops.fm_demod(xh, fast=True)
         head = self.out_fir.head_only(dh)
-        audio = jnp.concatenate([head, audio[:, self.out_fir.H:]], axis=-1)
-        return state, audio.reshape(*lead, n >> 2)
+        audio = audio.at[:, : self.out_fir.H].set(head)
+        return state, audio
 
     # -- state ----------------------------------------------------------
     def init_state(self, batch_shape=()) -> PipelineState:

@@ -103,19 +103,22 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
 
 @functools.partial(jax.jit, static_argnames=("taps", "conditioning",
                                              "interpret"))
-def fused_nbfm(raw: jax.Array, taps: tuple, conditioning: str = "shift",
-               interpret: bool = False) -> jax.Array:
-    """raw: uint8 [B, n] (n % 512 == 0) → audio [B, n/4] float32.
+def fused_nbfm_u32(u32: jax.Array, taps: tuple, conditioning: str = "shift",
+                   interpret: bool = False) -> jax.Array:
+    """u32: uint32 [B, samples] (the raw little-endian bytes viewed 4-at-a-
+    time; samples % 128 == 0) → audio [B, samples] float32.
+
+    This is the fast entry: feeding uint32 straight from the host (a free
+    numpy .view) avoids the device-side u8→u32 relayout, which costs more
+    than the whole kernel (~1.9 ms vs ~1.2 ms per 64 MiB on v5e).
 
     Stationary FIR everywhere; the caller must overwrite the first 2·sosLen
     samples per block with the f64 head correction (see JRealFir).
     """
-    B, n = raw.shape
-    samples = n // 4
+    B, samples = u32.shape
     rows = samples // LANES
-    assert samples % LANES == 0, n
-    u32 = jax.lax.bitcast_convert_type(
-        raw.reshape(B, samples, 4), jnp.uint32).reshape(B, rows, LANES)
+    assert samples % LANES == 0, samples
+    u32 = u32.reshape(B, rows, LANES)
     # int32 constants: python-int 0 lowers to i64 under x64 and Mosaic
     # rejects i64 index-map returns
     zero = np.int32(0)
@@ -131,3 +134,14 @@ def fused_nbfm(raw: jax.Array, taps: tuple, conditioning: str = "shift",
         interpret=interpret,
     )(u32)
     return out.reshape(B, samples)
+
+
+def fused_nbfm(raw: jax.Array, taps: tuple, conditioning: str = "shift",
+               interpret: bool = False) -> jax.Array:
+    """uint8 [B, n] (n % 512 == 0) → audio [B, n/4] float32.  Compatibility
+    wrapper: pays a device-side u8→u32 relayout; prefer fused_nbfm_u32 with
+    host-viewed uint32 input on the hot path."""
+    B, n = raw.shape
+    u32 = jax.lax.bitcast_convert_type(
+        raw.reshape(B, n // 4, 4), jnp.uint32)
+    return fused_nbfm_u32(u32, taps, conditioning, interpret)

@@ -91,8 +91,16 @@ class StreamProcessor:
         self.cfg = cfg
         if pipeline is None:
             self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
-            self.fn = self.pipe.jit_block_fn()
             self.block_bytes = cfg.buf_size
+            if self.pipe._use_fused():
+                # feed host-viewed uint32 (free numpy .view) so the device
+                # never pays the u8→u32 relayout (~1.9 ms per 64 MiB)
+                f32c = jax.jit(self.pipe.fused_call_u32, donate_argnums=(0,))
+                self.fn = lambda st, raw: f32c(
+                    st, np.ascontiguousarray(raw).view(np.uint32)
+                    .reshape(1, -1))
+            else:
+                self.fn = self.pipe.jit_block_fn()
         else:
             self.pipe = pipeline
             self.fn = jax.jit(pipeline.__call__)
