@@ -111,7 +111,8 @@ def _enable_compile_cache():
 def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     """--bank f1,f2,...: channel-bank mode (models/channel_bank.py).  The -o
     argument is a filename template; each channel writes <out>.ch<N>.raw
-    (stdout is refused — N parallel streams don't interleave usefully)."""
+    (stdout is refused — N parallel streams don't interleave usefully).
+    --checkpoint/--resume and --metrics work like the single-stream modes."""
     import numpy as np
     from .models.channel_bank import ChannelBankConfig, ChannelBankPipeline
     from .runtime.stream import BlockReader
@@ -131,18 +132,57 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     pipe = ChannelBankPipeline(bcfg)
     fn = jax.jit(pipe.__call__)
     state = pipe.init_state()
-    outs = [open(f"{oarg}.ch{c}.raw", "wb") for c in range(len(offsets))]
+    blocks = 0
+    byte_offset = 0
+    ck = extras["checkpoint"]
+    ck_every = max(1, int(extras["checkpoint_every"]))
+    open_mode = "wb"
+    if extras["resume"]:
+        if not ck:
+            print("--resume requires --checkpoint", file=sys.stderr)
+            return -1
+        from .runtime.checkpoint import load_checkpoint
+        state, byte_offset, blocks = load_checkpoint(ck, state, cfg=bcfg)
+        fin.seek(byte_offset)
+        open_mode = "ab"
+    metrics = None
+    if extras["metrics"]:
+        from .utils.metrics import StreamMetrics
+        metrics = StreamMetrics(pipe.block_bytes, pipe.block_bytes // 2)
+    outs = [open(f"{oarg}.ch{c}.raw", open_mode)
+            for c in range(len(offsets))]
     try:
         reader = BlockReader(fin, pipe.block_bytes,
                              tail_policy=extras["tail"] or "drop")
+        done = 0  # blocks since (re)start — byte_offset already covers the rest
         for raw in reader:
             state, audio = fn(state, raw)
             audio = np.asarray(audio, dtype=np.float32)
+            state_h = jax.tree.map(np.asarray, state)
             for c, f in enumerate(outs):
                 f.write(audio[c].tobytes())
+            done += 1
+            blocks += 1
+            if metrics is not None:
+                metrics.block_done()
+            if ck and done % ck_every == 0:
+                from .runtime.checkpoint import save_checkpoint
+                save_checkpoint(ck, state_h,
+                                byte_offset=byte_offset
+                                + done * pipe.block_bytes,
+                                blocks=blocks, cfg=bcfg)
+        if ck:
+            from .runtime.checkpoint import save_checkpoint
+            save_checkpoint(ck, jax.tree.map(np.asarray, state),
+                            byte_offset=byte_offset
+                            + done * pipe.block_bytes,
+                            blocks=blocks, cfg=bcfg)
     finally:
         for f in outs:
             f.close()
+    if metrics is not None:
+        import json as _json
+        print(_json.dumps(metrics.final()), file=sys.stderr)
     return 0
 
 
@@ -165,8 +205,18 @@ def main(argv=None) -> int:
     if iarg is None or oarg is None:
         print("both -i and -o are required", file=sys.stderr)
         return -1
+    try:
+        ck_every = int(extras["checkpoint_every"])
+        if ck_every < 1:
+            raise ValueError
+    except ValueError:
+        print("--checkpoint-every requires a positive integer",
+              file=sys.stderr)
+        return -1
     fin = sys.stdin.buffer if "-" in iarg else open(iarg, "rb")
-    fout = sys.stdout.buffer if "-" in oarg else open(oarg, "wb")
+    # bank mode manages its own per-channel outputs — never open/truncate -o
+    fout = None if extras["bank"] else (
+        sys.stdout.buffer if "-" in oarg else open(oarg, "wb"))
     _enable_compile_cache()
     trace_ctx = None
     if extras["trace"]:
@@ -177,10 +227,17 @@ def main(argv=None) -> int:
         from .runtime.stream import StreamProcessor
         run_kw = {"tail_policy": extras["tail"],
                   "checkpoint_path": extras["checkpoint"],
-                  "checkpoint_every": int(extras["checkpoint_every"]),
+                  "checkpoint_every": ck_every,
                   "resume": extras["resume"]}
         if extras["bank"]:
-            return _run_bank(cfg, opts, extras, fin, oarg)
+            try:
+                return _run_bank(cfg, opts, extras, fin, oarg)
+            except Exception as e:
+                from .runtime.checkpoint import CheckpointError
+                if isinstance(e, CheckpointError):
+                    print(f"checkpoint error: {e}", file=sys.stderr)
+                    return -1
+                raise
         if extras["wbfm"]:
             from .models.wbfm import WbfmConfig, WbfmPipeline
             wcfg = WbfmConfig(sample_rate=float(extras["iq_rate"]),
@@ -212,7 +269,7 @@ def main(argv=None) -> int:
             jax.profiler.stop_trace()
         if fin is not sys.stdin.buffer:
             fin.close()
-        if fout is not sys.stdout.buffer:
+        if fout is not None and fout is not sys.stdout.buffer:
             fout.close()
     return 0
 

@@ -85,9 +85,13 @@ class BlockPipeline:
         self.esr = np_dtype(50.0 / cfg.sample_rate)
 
         # fused Pallas kernel eligibility (flagship path: no input filter,
-        # stateless elementwise conditioning, lane-aligned block size, f32)
+        # stateless elementwise conditioning, lane-aligned block size, f32).
+        # The kernel's discriminator is the polynomial atan2, so the fused
+        # path only substitutes for the XLA path when the user asked for
+        # fast_atan2 — exact-atan2 configs keep the XLA graph.
         self.fused_eligible = (
-            cfg.demod_mode() != 0
+            fast_atan2
+            and cfg.demod_mode() != 0
             and self.in_fir is None
             and cfg.conditioning_kind() in (0, 3)
             and (cfg.buf_size // 4) % 128 == 0
@@ -126,7 +130,7 @@ class BlockPipeline:
             u32[:, :W], jnp.uint8).reshape(-1, 4 * W)
         xh = (cond_ops.normalize_input(head_bytes, self.dtype) if kind == 3
               else cond_ops.shift_origin(head_bytes, self.dtype))
-        dh = demod_ops.fm_demod(xh, fast=True)
+        dh = demod_ops.fm_demod(xh, fast=True)  # eligibility implies fast_atan2
         head = self.out_fir.head_only(dh)
         audio = audio.at[:, : self.out_fir.H].set(head)
         return state, audio

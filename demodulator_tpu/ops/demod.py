@@ -33,23 +33,32 @@ _ATAN_COEFFS = (
 
 
 def atan2_fast(y: jax.Array, x: jax.Array) -> jax.Array:
-    """Polynomial atan2 on the VPU: octant reduction + odd poly on [0,1]."""
+    """Polynomial atan2 on the VPU: octant reduction + odd poly on [0,1].
+
+    Zero handling matches C99 atan2f (what the reference calls,
+    src/matrix.c:170-174): the quadrant fixups use signbit, not `< 0`, so
+    atan2(±0, −0) = ±π — the conj-product of a centered (0,0) IQ sample
+    (input bytes 127,127) lands on exactly that corner, and returning 0
+    there (an earlier bug) cost ~π-sized glitches on DC-centered captures.
+
+    Coefficients are cast to f32 explicitly so the same function lowers
+    under Mosaic (python scalars otherwise widen under x64).
+    """
+    f32 = jnp.float32
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    z = lo / jnp.where(hi == 0, 1.0, hi)
+    z = lo / jnp.where(hi == 0, f32(1.0), hi)
     z2 = z * z
-    p = _ATAN_COEFFS[-1]
+    p = f32(_ATAN_COEFFS[-1])
     for c in _ATAN_COEFFS[-2::-1]:
-        p = p * z2 + c
+        p = p * z2 + f32(c)
     at = z + z * z2 * p
-    # undo the min/max swap, then quadrant fixup
-    at = jnp.where(ay > ax, jnp.float32(jnp.pi / 2) - at, at)
-    at = jnp.where(x < 0, jnp.float32(jnp.pi) - at, at)
-    at = jnp.where(y < 0, -at, at)
-    # atan2(0, 0) = 0 like libm
-    return jnp.where((ax == 0) & (ay == 0), 0.0, at)
+    # undo the min/max swap, then quadrant fixup (signbit: −0.0 counts)
+    at = jnp.where(ay > ax, f32(jnp.pi / 2) - at, at)
+    at = jnp.where(jnp.signbit(x), f32(jnp.pi) - at, at)
+    return jnp.where(jnp.signbit(y), -at, at)
 
 
 def fm_demod(x: jax.Array, fast: bool = False) -> jax.Array:

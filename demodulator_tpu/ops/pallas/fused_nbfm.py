@@ -26,27 +26,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..demod import _ATAN_COEFFS
+from ..demod import atan2_fast
 
 LANES = 128
-
-
-def _atan2_poly(y, x):
-    """Polynomial atan2 (same coefficients as ops.demod.atan2_fast)."""
-    ax = jnp.abs(x)
-    ay = jnp.abs(y)
-    hi = jnp.maximum(ax, ay)
-    lo = jnp.minimum(ax, ay)
-    z = lo / jnp.where(hi == 0, jnp.float32(1.0), hi)
-    z2 = z * z
-    p = jnp.float32(_ATAN_COEFFS[-1])
-    for c in _ATAN_COEFFS[-2::-1]:
-        p = p * z2 + jnp.float32(c)
-    at = z + z * z2 * p
-    at = jnp.where(ay > ax, jnp.float32(np.pi / 2) - at, at)
-    at = jnp.where(x < 0, jnp.float32(np.pi) - at, at)
-    at = jnp.where(y < 0, -at, at)
-    return jnp.where((ax == 0) & (ay == 0), jnp.float32(0.0), at)
 
 
 def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
@@ -79,7 +61,8 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
 
     zr = a * c + b * d
     zj = b * c - a * d
-    x = _atan2_poly(zj, zr)                      # [rows, 128] demod samples
+    x = atan2_fast(zj, zr)                       # [rows, 128] demod samples
+    x = jnp.where(jnp.isnan(x), jnp.float32(0.0), x)  # NaN clamp (matrix.c:174)
 
     # stationary anti-causal FIR: y[q] = Σ_d taps[d]·x[q+d] in row-major
     # order.  x[q+d] = roll left by d with cross-row carry; beyond-block

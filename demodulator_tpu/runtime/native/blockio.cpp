@@ -28,6 +28,11 @@
 #include <thread>
 #include <vector>
 
+#include <errno.h>
+#include <fcntl.h>
+#include <poll.h>
+#include <unistd.h>
+
 namespace {
 
 struct Ring {
@@ -35,8 +40,8 @@ struct Ring {
     int depth = 0;
     bool tail_pad = false;
 
-    FILE* f = nullptr;
-    bool own_file = false;
+    int fd = -1;
+    bool own_fd = false;
 
     std::vector<uint8_t*> slots;    // depth page-aligned buffers
     std::vector<size_t> lens;       // filled length per slot
@@ -52,15 +57,46 @@ struct Ring {
     uint8_t* prev = nullptr;        // last full block (tail_pad overlay)
 };
 
+// Fill `local` with up to bs bytes.  Uses poll() with a 100 ms tick so the
+// closing flag is honored even when the source is an idle pipe/FIFO — a
+// blocking fread here would make bio_close join() hang forever.  Returns
+// bytes read; *err is set to -2 on a read error (mirroring the reference's
+// ferror exit code, src/main.c:78-87), including errors after a partial
+// read — those must NOT masquerade as a clean EOF.
+size_t read_block(Ring* r, uint8_t* dst, size_t bs, int* err) {
+    size_t got = 0;
+    while (got < bs) {
+        if (r->closing.load(std::memory_order_relaxed)) return got;
+        struct pollfd pfd = {r->fd, POLLIN, 0};
+        int pr = poll(&pfd, 1, 100);
+        if (pr < 0) {
+            if (errno == EINTR) continue;
+            *err = -2;
+            return got;
+        }
+        if (pr == 0) continue;  // tick: re-check closing
+        ssize_t n = read(r->fd, dst + got, bs - got);
+        if (n < 0) {
+            if (errno == EINTR || errno == EAGAIN) continue;
+            *err = -2;
+            return got;
+        }
+        if (n == 0) return got;  // EOF
+        got += static_cast<size_t>(n);
+    }
+    return got;
+}
+
 void reader_main(Ring* r) {
     size_t bs = r->block_size;
     std::vector<uint8_t> local(bs);
     for (;;) {
         if (r->closing.load(std::memory_order_relaxed)) break;
-        size_t got = fread(local.data(), 1, bs, r->f);
-        if (got == 0) {
+        int err = 0;
+        size_t got = read_block(r, local.data(), bs, &err);
+        if (err != 0 || got == 0) {
             std::lock_guard<std::mutex> lk(r->mu);
-            if (ferror(r->f)) r->error = -2;  // reference exit code -2
+            r->error = err;
             r->eof = true;
             r->not_empty.notify_all();
             break;
@@ -111,15 +147,15 @@ void* bio_open(const char* path, size_t block_size, int depth, int tail_pad,
     r->depth = depth;
     r->tail_pad = tail_pad != 0;
     if (strcmp(path, "-") == 0) {
-        r->f = stdin;
+        r->fd = 0;
     } else {
-        r->f = fopen(path, "rb");
-        r->own_file = true;
+        r->fd = open(path, O_RDONLY);
+        r->own_fd = true;
     }
-    if (!r->f) { delete r; return nullptr; }
+    if (r->fd < 0) { delete r; return nullptr; }
     if (offset > 0) {
-        if (r->f == stdin || fseek(r->f, offset, SEEK_SET) != 0) {
-            if (r->own_file) fclose(r->f);
+        if (r->fd == 0 || lseek(r->fd, offset, SEEK_SET) < 0) {
+            if (r->own_fd) close(r->fd);
             delete r;
             return nullptr;
         }
@@ -135,7 +171,7 @@ void* bio_open(const char* path, size_t block_size, int depth, int tail_pad,
     r->prev = ok ? static_cast<uint8_t*>(calloc(1, block_size)) : nullptr;
     if (!r->prev) {
         for (auto* p : r->slots) free(p);
-        if (r->own_file) fclose(r->f);
+        if (r->own_fd) close(r->fd);
         delete r;
         return nullptr;
     }
@@ -149,7 +185,7 @@ long bio_next(void* h, uint8_t* out) {
     Ring* r = static_cast<Ring*>(h);
     std::unique_lock<std::mutex> lk(r->mu);
     r->not_empty.wait(lk, [r] { return r->count > 0 || r->eof; });
-    if (r->count == 0) return r->error ? r->error : 0;
+    if (r->count == 0) return r->error ? r->error : 0;  // error beats EOF
     uint8_t* slot = r->slots[r->tail];
     size_t len = r->lens[r->tail];
     memcpy(out, slot, len);
@@ -167,10 +203,10 @@ void bio_close(void* h) {
         r->not_full.notify_all();
         r->not_empty.notify_all();
     }
-    if (r->reader.joinable()) r->reader.join();
+    if (r->reader.joinable()) r->reader.join();  // bounded: poll ticks 100 ms
     for (auto* p : r->slots) free(p);
     free(r->prev);
-    if (r->own_file) fclose(r->f);
+    if (r->own_fd) close(r->fd);
     delete r;
 }
 

@@ -153,12 +153,16 @@ class StreamProcessor:
         state = self.pipe.init_state()
         blocks = 0
         byte_offset = 0
+        checkpoint_every = max(1, int(checkpoint_every))
+        # fingerprint the config that actually built the graph: a pipeline
+        # override (WBFM, channel bank) carries its own dataclass
+        ck_cfg = getattr(self.pipe, "cfg", self.cfg)
         if resume:
             if not checkpoint_path:
                 raise ValueError("resume requires checkpoint_path")
             from .checkpoint import load_checkpoint
             state, byte_offset, blocks = load_checkpoint(
-                checkpoint_path, state, cfg=self.cfg)
+                checkpoint_path, state, cfg=ck_cfg)
             fin.seek(byte_offset)
         reader = self._make_reader(fin, tail_policy, offset=byte_offset)
         pending: list = []
@@ -169,7 +173,7 @@ class StreamProcessor:
                 from .checkpoint import save_checkpoint
                 save_checkpoint(checkpoint_path, state_done,
                                 byte_offset=byte_offset + done * self.block_bytes,
-                                blocks=blocks, cfg=self.cfg)
+                                blocks=blocks, cfg=ck_cfg)
 
         done = 0            # blocks fully written since (re)start
         state_done = state  # carry state as of `done` blocks

@@ -97,3 +97,22 @@ def test_stream_processor_uses_native_reader(tmp_path):
     with open(src, "rb") as f:
         StreamProcessor(cfg, use_native=False).run(f, out_py)
     assert out_nat.getvalue() == out_py.getvalue() != b""
+
+
+def test_close_while_blocked_on_idle_fifo(tmp_path):
+    """close() must return promptly even when the reader is waiting on a
+    FIFO with no data (poll-tick shutdown, not a blocking fread)."""
+    import threading
+    import time
+    fifo = str(tmp_path / "src.fifo")
+    os.mkfifo(fifo)
+    holder = os.open(fifo, os.O_RDWR)  # keep FIFO open, never write
+    try:
+        r = native.NativeBlockReader(fifo, BS)
+        time.sleep(0.2)  # reader thread is now blocked waiting for data
+        done = threading.Event()
+        threading.Thread(target=lambda: (r.close(), done.set()),
+                         daemon=True).start()
+        assert done.wait(timeout=5.0), "bio_close hung on idle FIFO"
+    finally:
+        os.close(holder)

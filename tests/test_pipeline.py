@@ -99,3 +99,38 @@ def test_fast_atan2_accuracy():
                                  jnp.asarray([0.0, -1.0, 0.0, 0.0], jnp.float32)))
     np.testing.assert_allclose(got0, [0.0, np.pi, np.pi / 2, -np.pi / 2],
                                atol=5e-6)
+
+
+def test_fast_atan2_signed_zero_corners():
+    """atan2_fast must match libm/jnp.arctan2 on every ±0 corner — the
+    conj-product of a centered (0,0) IQ sample (bytes 127,127) lands on
+    (±0, −0), where returning 0 instead of ±π once cost ~π glitches."""
+    import itertools
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.demod import atan2_fast
+    zs = np.array([0.0, -0.0, 1.5, -1.5], np.float32)
+    y, x = np.meshgrid(zs, zs, indexing="ij")
+    got = np.asarray(atan2_fast(jnp.asarray(y.ravel()), jnp.asarray(x.ravel())))
+    want = np.arctan2(y.ravel(), x.ravel())
+    np.testing.assert_allclose(got, want, atol=3e-7)
+    # bit-sign agreement on the zero results too
+    np.testing.assert_array_equal(np.signbit(got[np.abs(want) < 1e-6]),
+                                  np.signbit(want[np.abs(want) < 1e-6]))
+
+
+def test_centered_sample_block_parity(ref_binary):
+    """A block full of (127,127) bytes (exact DC zeros) through the real C
+    binary vs our XLA fast path — the corner the signed-zero bug broke."""
+    from tests.conftest import run_reference, snr_db
+    from demodulator_tpu.config import config_from_cli_opts
+    from demodulator_tpu.models.nbfm import BlockPipeline
+    rng = np.random.default_rng(9)
+    iq = rng.integers(0, 256, 3 * 4096, dtype=np.uint8)
+    iq[1000:2000] = 127  # runs of exactly-centered samples
+    ref = run_reference(ref_binary, iq.tobytes(),
+                        ["-S", "192000", "-l", "12500", "-b", "-6"])
+    cfg = config_from_cli_opts({"S": "192000", "l": "12500", "b": "-6"})
+    pipe = BlockPipeline(cfg, fast_atan2=True)
+    mine = np.asarray(pipe(pipe.init_state(), iq.reshape(3, 4096))[1]).ravel()
+    n = 2 * 1024  # deterministic non-final blocks
+    assert snr_db(ref[:n], mine[:n]) > 110.0

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Timed-run regression harness.
+
+The framework's equivalent of the reference's 3× repeated `time demodulator`
+matrix over option sets (test.sh:57-59,94-125; oldTest.sh:53-55,107-165):
+runs the real CLI end-to-end (file in → file out, includes compile-or-cache,
+host IO, device transfer) R times per config and reports min/median wall
+time and effective Msps as JSON lines, so perf regressions show up as
+diffs in CI logs.
+
+    python tools/bench_regression.py [--blocks 64] [--repeats 3] [--configs all]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = {
+    # name → CLI args (BASELINE.json config shapes)
+    "nbfm": ["-S", "96000", "-l", "12500"],
+    "nbfm_inlpf": ["-S", "96000", "-L", "12500", "-l", "6500"],
+    "nbfm_cheby": ["-S", "96000", "-l", "6500", "-m", "1", "-e", "2"],
+    "nbfm_correctiq": ["-S", "96000", "-l", "12500", "-q", "1"],
+}
+
+
+def run_once(src: str, dst: str, args: list[str]) -> float:
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "demodulator_tpu", "-i", src, "-o", dst,
+         *args], cwd=REPO, capture_output=True)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.decode()[-2000:])
+    return dt
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--blocks", type=int, default=64,
+                    help="256 KiB blocks of random IQ per run")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--configs", default="all",
+                    help="comma list of config names, or 'all'")
+    args = ap.parse_args(argv)
+
+    names = list(CONFIGS) if args.configs == "all" \
+        else args.configs.split(",")
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, args.blocks * 262144, dtype=np.uint8)
+    complex_in = data.size // 2
+
+    # NOTE: no '-' anywhere in the temp paths (reference strstr quirk)
+    with tempfile.TemporaryDirectory(prefix="benchreg", dir="/tmp") as d:
+        src = os.path.join(d, "iq.dat")
+        data.tofile(src)
+        for name in names:
+            dst = os.path.join(d, f"{name}.raw")
+            times = [run_once(src, dst, CONFIGS[name])
+                     for _ in range(args.repeats)]
+            best = min(times)
+            print(json.dumps({
+                "config": name,
+                "runs": [round(t, 3) for t in times],
+                "median_s": round(statistics.median(times), 3),
+                "best_msps_complex_e2e": round(complex_in / best / 1e6, 2),
+            }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
