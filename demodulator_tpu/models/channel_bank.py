@@ -37,6 +37,7 @@ from ..ops import conditioning as cond_ops
 from ..ops import demod as demod_ops
 from ..ops.fir import extract_real_fir
 from ..ops.fir_apply import JRealFir
+from ..ops.channelizer import PolyphaseChannelizer
 from ..ops.resample import PolyResampler, design_resampler_taps
 
 __all__ = ["ChannelBankConfig", "ChannelBankState", "ChannelBankPipeline"]
@@ -53,6 +54,11 @@ class ChannelBankConfig:
     epsilon: float = 0.3
     atten_db: float = 70.0
     block_seconds: float = 0.01
+    # "auto": polyphase FFT filterbank when every offset sits on the k·fs/C
+    # grid (C = fs/channel_rate) — ~50× cheaper than per-channel mixing;
+    # "mixer": force the arbitrary-offset mix+decimate path; "pfb": force
+    # the filterbank (errors off-grid).
+    method: str = "auto"
 
     def num_channels(self) -> int:
         return len(self.offsets_hz)
@@ -83,6 +89,20 @@ class ChannelBankPipeline:
         D = cfg.decim()
         C = cfg.num_channels()
 
+        self.method = cfg.method
+        if self.method in ("auto", "pfb"):
+            try:
+                pfb = PolyphaseChannelizer(D)
+                self.pfb_rows = jnp.asarray(
+                    [pfb.channel_index(o, fs) for o in cfg.offsets_hz],
+                    jnp.int32)
+                self.pfb = pfb
+                self.method = "pfb"
+            except ValueError:
+                if self.method == "pfb":
+                    raise
+                self.method = "mixer"
+
         # block geometry: wideband complex samples per block — multiple of
         # D with an even channel-rate count (discriminator pairs)
         unit = 2 * D
@@ -92,6 +112,11 @@ class ChannelBankPipeline:
         T = self.block_complex
         self.chan_complex = T // D
         self.audio_per_block = self.chan_complex // 2
+
+        if self.method == "pfb":
+            # geometry above (T % 2D == 0) already guarantees frame alignment
+            self._build_audio_chain(dtype)
+            return
 
         # mixer LUT: e^{−j·2π·f_c·n/fs} for n in [0, T), host float64 once
         n = np.arange(T, dtype=np.float64)
@@ -110,9 +135,13 @@ class ChannelBankPipeline:
                                      atten_db=cfg.atten_db)
         self.chan = PolyResampler(1, D, taps, dtype)
 
+        self._build_audio_chain(dtype)
+
+    def _build_audio_chain(self, dtype):
         # audio filter: the reference's SOS design → stationary FIR taps
         # (JRealFir interior response), applied causally with group delay
         # equal to the anti-causal reach self.delay
+        cfg = self.cfg
         sos = design_sos(cfg.out_filter_family, cfg.out_filter_degree,
                          cfg.lowpass_out, cfg.channel_rate, cfg.epsilon,
                          dtype=np.float64)
@@ -124,6 +153,12 @@ class ChannelBankPipeline:
     # -- state ----------------------------------------------------------
     def init_state(self) -> ChannelBankState:
         C = self.cfg.num_channels()
+        if self.method == "pfb":
+            return ChannelBankState(
+                phasor=jnp.zeros((0, 2), self.dtype),  # PFB needs no phasor
+                chan_hist=self.pfb.init_hist(),
+                audio_hist=self.audio.init_hist((C,)),
+            )
         ph = jnp.zeros((C, 2), self.dtype).at[:, 0].set(1.0)
         return ChannelBankState(
             phasor=ph,
@@ -135,6 +170,8 @@ class ChannelBankPipeline:
     def __call__(self, state: ChannelBankState, raw: jax.Array):
         """raw: uint8 [block_bytes] → (state, audio [C, audio_per_block])."""
         assert raw.shape[-1] == self.block_bytes
+        if self.method == "pfb":
+            return self._call_pfb(state, raw)
         x = cond_ops.shift_origin(raw, self.dtype)
         xi, xq = x[0::2], x[1::2]                         # [T]
 
@@ -157,6 +194,16 @@ class ChannelBankPipeline:
         norm = jax.lax.rsqrt(npc * npc + nps * nps)
         phasor = jnp.stack([npc * norm, nps * norm], axis=-1)
         return ChannelBankState(phasor, chan_hist, audio_hist), audio
+
+    def _call_pfb(self, state: ChannelBankState, raw: jax.Array):
+        x = cond_ops.shift_origin(raw, self.dtype)
+        iq = jnp.stack([x[0::2], x[1::2]], axis=0)          # [2, T]
+        chans, chan_hist = self.pfb(iq, state.chan_hist)    # [Cgrid, 2, Tc]
+        sel = jnp.take(chans, self.pfb_rows, axis=0)        # [C, 2, Tc]
+        inter = jnp.swapaxes(sel, -1, -2).reshape(sel.shape[0], -1)
+        d = demod_ops.fm_demod(inter, fast=True)
+        audio, audio_hist = self.audio(d, state.audio_hist)
+        return ChannelBankState(state.phasor, chan_hist, audio_hist), audio
 
     # -- sharding --------------------------------------------------------
     def shard_over(self, mesh, state: ChannelBankState):

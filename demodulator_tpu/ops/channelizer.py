@@ -1,0 +1,116 @@
+"""Critically-sampled polyphase analysis filterbank (PFB channelizer).
+
+Splits one wideband complex stream at fs into C baseband channels on the
+uniform grid f_k = k·fs/C, each at rate fs/C — the textbook efficient
+channelizer: instead of C independent mix+decimate chains (C·T·K MACs per
+block, measured 50× too slow for a 64-channel bank on v5e), the polyphase
+decomposition runs ONE prototype filter at the low rate (T·P multiply-adds,
+P taps per phase) followed by a C-point DFT across branches.
+
+TPU-first design choices:
+  * everything is REAL arithmetic on separate I/Q lanes — the axon TPU
+    backend has no complex dtype support, and for C ≤ ~256 the C-point DFT
+    as a dense [C, C] cos/sin matmul maps straight onto the MXU (the
+    branch filter is the same framed static-slice trick as ops.resample);
+  * no sequential state beyond a P·C−1-sample input history.
+
+Math (validated in tests against a naive per-channel mix+decimate using
+the same prototype): with frames F[m, c] = x[mC − c] (note the reversed
+commutator) and prototype h of length P·C,
+
+    z[m, c] = Σ_p h[pC + c] · F[m−p, c]
+    y[m, k] = Σ_c z[m, c] · e^{+j2πkc/C}
+            = Σ_j h[j] · x[mC − j] · e^{j2πkj/C}
+            = decimate_C( (x·e^{−j2πk n/C}) * h )[m]
+
+Because every center frequency is a multiple of fs/C, the decimated mixer
+phase e^{−j2πk·mC/C} is identically 1 — channels are phase-coherent across
+blocks with no carry phasor.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resample import kaiser_lowpass
+
+__all__ = ["PolyphaseChannelizer", "design_pfb_prototype"]
+
+
+def design_pfb_prototype(C: int, taps_per_phase: int = 12,
+                         cutoff_frac: float = 0.45,
+                         beta: float = 9.0) -> np.ndarray:
+    """Prototype lowpass for a C-channel critically-sampled PFB: length
+    P·C, cutoff cutoff_frac·(fs/C), unit DC gain, host float64."""
+    K = taps_per_phase * C
+    h = kaiser_lowpass(K, cutoff_frac / C, 1.0, beta=beta)
+    if len(h) != K:  # kaiser_lowpass pads to odd length
+        h = h[:K] if len(h) > K else np.pad(h, (0, K - len(h)))
+    return h / h.sum()
+
+
+class PolyphaseChannelizer:
+    """iq: real [..., 2, T] (I/Q lanes, T % C == 0) →
+    y: real [..., C, 2, T/C] per-channel I/Q.
+
+    Channel k is centered at +k·fs/C (k interpreted mod C, so negative
+    offsets live in the upper half).  State: the trailing P·C−1 input
+    samples per lane (init zeros — stream assumed silent before t=0).
+    """
+
+    def __init__(self, C: int, taps_per_phase: int = 12,
+                 dtype=jnp.float32, prototype: np.ndarray | None = None):
+        self.C = C
+        h = (np.asarray(prototype, np.float64) if prototype is not None
+             else design_pfb_prototype(C, taps_per_phase))
+        assert h.size % C == 0, "prototype length must be P*C"
+        self.P = h.size // C
+        # taps for branch c multiply F[m−p, c] = x[(m−p)C − c]
+        self.hmat = jnp.asarray(h.reshape(self.P, C), dtype)
+        self.hist_len = self.P * C  # covers x[mC − j] down to j = PC−1
+        self.dtype = dtype
+        # C-point DFT as dense real matmuls (MXU): W[k, c] = e^{+j2πkc/C}
+        k = np.arange(C)[:, None] * np.arange(C)[None, :]
+        theta = 2.0 * np.pi * (k % C) / C
+        self.dft_cos = jnp.asarray(np.cos(theta), dtype)  # [K=C, c=C]
+        self.dft_sin = jnp.asarray(np.sin(theta), dtype)
+
+    def init_hist(self, batch_shape=()) -> jax.Array:
+        return jnp.zeros((*batch_shape, 2, self.hist_len), self.dtype)
+
+    def __call__(self, iq: jax.Array, hist: jax.Array):
+        C, P = self.C, self.P
+        T = iq.shape[-1]
+        assert iq.shape[-2] == 2 and T % C == 0, iq.shape
+        M = T // C
+        lead = iq.shape[:-2]
+        xc = jnp.concatenate(
+            [jnp.broadcast_to(hist, (*lead, 2, self.hist_len)), iq], axis=-1)
+        # F[m, c] = x_global[mC − c]; local index in xc is H + mC − c.
+        # For shift p:  A_p[m, i] = xc[H − pC − (C−1) + mC + i], c = C−1−i.
+        z = None
+        for p in range(P):
+            start = self.hist_len - p * C - (C - 1)
+            frames = jax.lax.slice_in_dim(
+                xc, start, start + M * C, axis=-1).reshape(*lead, 2, M, C)
+            frames = jnp.flip(frames, axis=-1)  # i → c = C−1−i
+            term = frames * self.hmat[p]
+            z = term if z is None else z + term
+        zr, zi = z[..., 0, :, :], z[..., 1, :, :]          # [..., M, C]
+        # y[m, k] = Σ_c z[m, c]·(cos + j·sin)(2πkc/C) — two MXU matmuls/lane
+        yr = jnp.einsum("...mc,kc->...km", zr, self.dft_cos) \
+            - jnp.einsum("...mc,kc->...km", zi, self.dft_sin)
+        yi = jnp.einsum("...mc,kc->...km", zr, self.dft_sin) \
+            + jnp.einsum("...mc,kc->...km", zi, self.dft_cos)
+        y = jnp.stack([yr, yi], axis=-2)                   # [..., C, 2, M]
+        new_hist = xc[..., xc.shape[-1] - self.hist_len:]
+        return y, new_hist
+
+    def channel_index(self, offset_hz: float, fs: float) -> int:
+        """Grid index for a center-frequency offset (must be on the grid)."""
+        k = offset_hz * self.C / fs
+        ki = int(round(k))
+        if abs(k - ki) > 1e-6:
+            raise ValueError(f"offset {offset_hz} not on the fs/C grid")
+        return ki % self.C

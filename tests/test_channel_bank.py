@@ -102,3 +102,89 @@ def test_chan_axis_sharding():
     assert y.sharding.is_equivalent_to(chan_sh, y.ndim)
     # sharded reduction order differs from single-device → f32 noise only
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain), atol=1e-4)
+
+
+def test_pfb_auto_selected_on_grid():
+    """On-grid offsets → PFB method; off-grid → mixer fallback."""
+    on = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                           offsets_hz=(-CR, 0.0, 2 * CR))
+    assert ChannelBankPipeline(on).method == "pfb"
+    off = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                            offsets_hz=OFFSETS)  # -480k = -2.5 grid steps
+    assert ChannelBankPipeline(off).method == "mixer"
+    with pytest.raises(ValueError):
+        ChannelBankPipeline(ChannelBankConfig(
+            sample_rate=FS, channel_rate=CR, offsets_hz=OFFSETS,
+            method="pfb"))
+
+
+def test_pfb_bank_recovers_tones():
+    """End-to-end PFB bank: each on-grid channel demodulates its own FM
+    carrier, matching the mixer path's recovered audio (>25 dB agreement
+    after settling — different anti-alias prototypes, same signal)."""
+    offs = (-2 * CR, 0.0, 3 * CR)
+    tones = (700.0, 1500.0, 2500.0)
+    blk = ChannelBankPipeline(ChannelBankConfig(
+        sample_rate=FS, channel_rate=CR, offsets_hz=offs,
+        block_seconds=0.02)).block_complex
+    raw = synth_bank(FS, offs, tones, 4 * blk, seed=9)
+    audio = {}
+    for method in ("pfb", "mixer"):
+        cfg = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                                offsets_hz=offs, block_seconds=0.02,
+                                method=method)
+        p = ChannelBankPipeline(cfg)
+        assert p.method == method
+        st = p.init_state()
+        outs = []
+        for b in range(4):
+            st, y = p(st, raw[b * p.block_bytes:(b + 1) * p.block_bytes])
+            outs.append(np.asarray(y))
+        audio[method] = np.concatenate(outs, axis=-1)[:, p.audio_per_block:]
+    arate = CR / 2
+    f = np.fft.rfftfreq(audio["pfb"].shape[-1], 1 / arate)
+    for c, tone in enumerate(tones):
+        mag = np.abs(np.fft.rfft(audio["pfb"][c]
+                                 * np.hanning(audio["pfb"].shape[-1])))
+        assert abs(f[np.argmax(mag[3:]) + 3] - tone) < 15.0, (c, tone)
+    # cross-method agreement: FM demod is nonlinear and the two paths use
+    # different anti-alias prototypes, so exact waveforms differ — but the
+    # recovered tone LEVEL must match within 1 dB, the waveforms must
+    # correlate strongly after delay alignment, and each channel must
+    # reject its neighbors' tones
+    n = audio["pfb"].shape[-1]
+    w = np.hanning(n)
+    for c, tone in enumerate(tones):
+        a, b = audio["pfb"][c], audio["mixer"][c]
+        xc = np.correlate(a - a.mean(), b - b.mean(), "full")
+        corr = np.abs(xc).max() / (np.std(a) * np.std(b) * n)
+        assert corr > 0.9, (c, corr)
+        la = np.abs(np.fft.rfft(a * w))
+        lb = np.abs(np.fft.rfft(b * w))
+        bi = np.argmin(np.abs(f - tone))
+        ratio_db = 20 * np.log10(la[bi] / lb[bi])
+        assert abs(ratio_db) < 1.0, (c, ratio_db)
+        for other in tones:
+            if other != tone:
+                oi = np.argmin(np.abs(f - other))
+                assert la[oi] < la[bi] / 10, (c, other)
+
+
+def test_pfb_streaming_continuity():
+    offs = (-2 * CR, 0.0, 3 * CR)
+    cfg_s = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                              offsets_hz=offs, block_seconds=0.005)
+    cfg_b = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                              offsets_hz=offs, block_seconds=0.02)
+    ps, pb = ChannelBankPipeline(cfg_s), ChannelBankPipeline(cfg_b)
+    assert ps.method == pb.method == "pfb"
+    assert pb.block_bytes == 4 * ps.block_bytes
+    raw = synth_bank(FS, offs, (1000.0,) * 3, 4 * ps.block_complex, seed=2)
+    st = ps.init_state()
+    outs = []
+    for b in range(4):
+        st, y = ps(st, raw[b * ps.block_bytes:(b + 1) * ps.block_bytes])
+        outs.append(np.asarray(y))
+    _, whole = pb(pb.init_state(), raw)
+    np.testing.assert_allclose(np.concatenate(outs, axis=-1),
+                               np.asarray(whole), atol=3e-5)
