@@ -4,12 +4,19 @@ Prints ONE JSON line: IQ complex Msamples/s through the full per-block
 pipeline (uint8 conditioning → quadrature discriminator → audio FIR) on
 device-resident data, fused Pallas path when on TPU.
 
-Methodology: the step runs N times inside one on-device lax.fori_loop with
-a data dependency per iteration (host-side timing through the remote-TPU
-tunnel is unreliable — dispatch is async and block_until_ready returns
-before execution completes).  vs_baseline is the ratio to the reference's
-demonstrated real-time rate (192 ksps complex sustained through its decode
-pipelines — the only performance fact it exhibits; BASELINE.md).
+Methodology (validated against jax.profiler device traces): host-side
+timing of individual dispatches is unreliable through the remote-TPU
+tunnel (dispatch is async, block_until_ready returns early, and each
+dispatch round-trip costs ~10 ms), so the step runs N times inside ONE
+on-device lax.fori_loop.  The loop carries a true data dependency without
+any buffer copies by feeding each iteration's audio output back as the
+next iteration's raw input via a free bitcast (f32 → u32): a one-element
+"poke" of the input buffer — the obvious alternative — is NOT aliased in
+place by XLA and silently copies the whole 64 MiB batch every iteration
+(~1.5 ms, 4x the step itself).  Two loop lengths cancel the fixed
+dispatch latency.  vs_baseline is the ratio to the reference's
+demonstrated real-time rate (192 ksps complex sustained through its
+decode pipelines — the only performance fact it exhibits; BASELINE.md).
 """
 import json
 import time
@@ -27,38 +34,52 @@ def main():
     pipe = BlockPipeline(cfg, fast_atan2=True, backend="auto")
 
     B = 256   # blocks per step: 64 MiB uint8 in, 64 MiB float32 out
-    N = 30    # on-device iterations per timing call
+    rows = (cfg.buf_size // 4) // 128
     rng = np.random.default_rng(0)
     raw_np = rng.integers(0, 256, size=(B, cfg.buf_size), dtype=np.uint8)
     state = pipe.init_state()
-    use_u32 = pipe._use_fused()
-    if use_u32:
-        # host-side reinterpret (free) — the device never repacks u8→u32
-        raw = jax.device_put(raw_np.view(np.uint32))
-        step = lambda s, r: pipe.fused_call_u32(s, r)[1]
-        poke = jnp.uint32
+    if pipe._use_fused() and pipe._use_fused_3d_ok():
+        # host-side view+reshape (free) — the device never repacks u8→u32
+        # and never pays the flat↔3-D tiled-layout copy
+        raw = jax.device_put(raw_np.view(np.uint32).reshape(B, rows, 128))
+        step = lambda r: pipe.fused_call_u32_3d(state, r)[1]
+        reinterpret = lambda audio: jax.lax.bitcast_convert_type(
+            audio, jnp.uint32)
     else:
         raw = jax.device_put(raw_np)
-        step = lambda s, r: pipe(s, r)[1]
-        poke = jnp.uint8
+        step = lambda r: pipe(state, r)[1]
 
-    @jax.jit
-    def bench(raw):
-        # Defeat loop-invariant hoisting without copying the input: the
-        # buffer rides the loop carry, so XLA aliases it in place and each
-        # iteration's one-element poke only touches one row.
-        def body(i, carry):
-            r, acc = carry
-            r = jax.lax.dynamic_update_slice(
-                r, i.astype(poke)[None, None], (i % B, 0))
-            out = step(state, r)
-            return r, acc + out[0, 0] + out[-1, -1]
-        return jax.lax.fori_loop(0, N, body, (raw, jnp.float32(0)))[1]
+        def reinterpret(audio):
+            # audio is [B, n/4] f32 → raw [B, n] u8 for the next iteration
+            u8x4 = jax.lax.bitcast_convert_type(audio, jnp.uint8)
+            return u8x4.reshape(B, cfg.buf_size)
 
-    float(bench(raw))  # compile + warmup
-    t0 = time.perf_counter()
-    float(bench(raw))
-    dt = (time.perf_counter() - t0) / N
+    fns = {}
+
+    def timed(N):
+        if N not in fns:
+            @jax.jit
+            def bench(x):
+                def body(i, x):
+                    return reinterpret(step(x))
+                x = jax.lax.fori_loop(0, N, body, x)
+                return x.reshape(-1)[0].astype(jnp.float32)
+            float(bench(raw))  # compile + warmup
+            fns[N] = bench
+        t0 = time.perf_counter()
+        float(fns[N](raw))
+        return time.perf_counter() - t0
+
+    # tunnel noise is additive and positive (host hiccups), so take the
+    # MIN over repeats per loop length before differencing; the slope
+    # cancels the fixed dispatch latency
+    n_lo, n_hi = 10, 70
+    reps = 4
+    t_lo = min(timed(n_lo) for _ in range(reps))
+    t_hi = min(timed(n_hi) for _ in range(reps))
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    if dt <= 0:  # pathological hiccup: fall back to the long run alone
+        dt = t_hi / n_hi
 
     msps = B * cfg.buf_size / 2 / dt / 1e6
     print(json.dumps({

@@ -135,6 +135,42 @@ class BlockPipeline:
         audio = audio.at[:, : self.out_fir.H].set(head)
         return state, audio
 
+    def fused_call_u32_3d(self, state: PipelineState, u32: jax.Array,
+                          interpret: bool = False):
+        """u32: uint32 [B, rows, 128], shaped on the HOST (raw bytes
+        ``.view(np.uint32).reshape(B, rows, 128)`` — a free view) →
+        (state, audio [B, rows, 128] float32; row-major bytes identical to
+        the flat audio).
+
+        The zero-copy fused entry: a device-side flat↔3-D reshape is a
+        tiled-layout relayout on TPU costing more than the kernel itself
+        (see ops.pallas.fused_nbfm.fused_nbfm_u32_3d), so the streaming
+        runtime and bench keep the natural 3-D shape end-to-end.
+        """
+        from ..ops.pallas.fused_nbfm import fused_nbfm_u32_3d
+        assert self._use_fused_3d_ok()
+        cfg = self.cfg
+        kind = cfg.conditioning_kind()
+        name = "normalize" if kind == 3 else "shift"
+        taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
+        audio = fused_nbfm_u32_3d(u32, taps, name, interpret=interpret)
+        # f64 head patch confined to row 0 (Wh inputs → H outputs, both
+        # ≤ 128 by _use_fused_3d_ok); .at.set aliases in place
+        W, H = self.out_fir.Wh, self.out_fir.H
+        head_bytes = jax.lax.bitcast_convert_type(
+            u32[:, 0, :W], jnp.uint8).reshape(-1, 4 * W)
+        xh = (cond_ops.normalize_input(head_bytes, self.dtype) if kind == 3
+              else cond_ops.shift_origin(head_bytes, self.dtype))
+        dh = demod_ops.fm_demod(xh, fast=True)  # eligibility implies fast
+        head = self.out_fir.head_only(dh)
+        audio = audio.at[:, 0, :H].set(head)
+        return state, audio
+
+    def _use_fused_3d_ok(self) -> bool:
+        """3-D fused path additionally needs the head patch to fit row 0."""
+        return (self.fused_eligible and self.out_fir.Wh <= 128
+                and self.out_fir.H <= 128)
+
     # -- state ----------------------------------------------------------
     def init_state(self, batch_shape=()) -> PipelineState:
         return PipelineState(

@@ -12,6 +12,13 @@ samples), so the input is bitcast to uint32 — one lane per output sample,
 no strided deinterleave.  Bytes unpack with shifts (little-endian:
 a = u & 255 is the first I sample).
 
+The kernel is VPU compute-bound (~65 ops/sample vs a ~200 µs DMA floor per
+64 MiB on v5e), so the atan2's division — the one multi-cycle op — uses the
+hardware reciprocal estimate plus one Newton step (max error ~2e-6 rad on
+the audio, vs a ≥60 dB acceptance bar and ~130 dB measured): 383 → ~315 µs
+per 64 MiB measured on v5e.  In interpret mode (CPU tests) pl.reciprocal
+is exact, so CPU numerics match the exact-division kernel bit-for-bit.
+
 The dense f64 head-row correction (first 2·sosLen samples per block) runs
 outside the kernel in XLA; the kernel computes stationary rows everywhere
 and the caller overwrites the head.
@@ -26,18 +33,42 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..demod import atan2_fast
+from ..demod import _ATAN_COEFFS
 
 LANES = 128
 
 
-def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
-    """One grid step = one IQ block.
+def _atan2_fast_recip(y: jax.Array, x: jax.Array) -> jax.Array:
+    """ops.demod.atan2_fast with the division replaced by the TPU
+    reciprocal estimate + one Newton step (Pallas-only: pl.reciprocal).
+    Same octant reduction and signbit quadrant fixups — see
+    ops.demod.atan2_fast for the C99 atan2f corner-case notes."""
+    f32 = jnp.float32
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    hi_safe = jnp.where(hi == 0, f32(1.0), hi)
+    r = pl.reciprocal(hi_safe, approx=True)
+    r = r * (f32(2.0) - hi_safe * r)  # one Newton step: ~1e-7 rel error
+    z = lo * r
+    z2 = z * z
+    p = f32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * z2 + f32(c)
+    at = z + z * z2 * p
+    at = jnp.where(ay > ax, f32(jnp.pi / 2) - at, at)
+    at = jnp.where(jnp.signbit(x), f32(jnp.pi) - at, at)
+    return jnp.where(jnp.signbit(y), -at, at)
 
-    u32_ref: [rows, 128] uint32 (4 raw bytes each) — rows*128 demod samples.
-    out_ref: [rows, 128] float32 audio.
+
+def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
+    """One grid step = ``blk`` IQ blocks (independent; leading dim).
+
+    u32_ref: [blk, rows, 128] uint32 (4 raw bytes each) — rows*128 demod
+    samples per block.  out_ref: [blk, rows, 128] float32 audio.
     """
-    u = u32_ref[0]
+    u = u32_ref[...]
     mask = jnp.uint32(0xFF)
     b0 = (u & mask).astype(jnp.int32)
     b1 = ((u >> 8) & mask).astype(jnp.int32)
@@ -61,69 +92,94 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
 
     zr = a * c + b * d
     zj = b * c - a * d
-    x = atan2_fast(zj, zr)                       # [rows, 128] demod samples
+    x = _atan2_fast_recip(zj, zr)                # [blk, rows, 128] demod
     x = jnp.where(jnp.isnan(x), jnp.float32(0.0), x)  # NaN clamp (matrix.c:174)
 
     # stationary anti-causal FIR: y[q] = Σ_d taps[d]·x[q+d] in row-major
-    # order.  x[q+d] = roll left by d with cross-row carry; beyond-block
-    # reads are zero (compat semantics).
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    # order within each block.  x[q+d] = roll left by d with cross-row
+    # carry; beyond-block reads are zero (compat semantics).  The rolls
+    # operate on the trailing two axes, so the leading block axis stays
+    # independent.
+    rax, cax = x.ndim - 2, x.ndim - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, cax)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, rax)
     y = jnp.float32(taps[0]) * x
     shifted = x
     for d in range(1, len(taps)):
         # left-roll by 1 == right-roll by size-1 (pltpu.roll wants shift >= 0;
         # int32 — python ints lower to i64 under x64 and fail verification)
-        lane = pltpu.roll(shifted, shift=np.int32(LANES - 1), axis=1)
-        carry = pltpu.roll(shifted[:, :1], shift=np.int32(rows - 1), axis=0)
+        lane = pltpu.roll(shifted, shift=np.int32(LANES - 1), axis=cax)
+        carry = pltpu.roll(shifted[..., :1], shift=np.int32(rows - 1),
+                           axis=rax)
         shifted = jnp.where(col == LANES - 1, carry, lane)
         # zero the positions that rolled past the end of the block
         valid = (row < rows - 1) | (col < LANES - d)
         shifted = jnp.where(valid, shifted, jnp.float32(0.0))
         y = y + jnp.float32(taps[d]) * shifted
-    out_ref[0] = y
+    out_ref[...] = y
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "conditioning",
                                              "interpret"))
+def fused_nbfm_u32_3d(u32: jax.Array, taps: tuple,
+                      conditioning: str = "shift",
+                      interpret: bool = False) -> jax.Array:
+    """u32: uint32 [B, rows, 128] → audio [B, rows, 128] float32.
+
+    The zero-copy entry: the [B, rows, 128] shape must come straight from
+    the host (numpy ``.view(uint32).reshape(B, rows, 128)`` — free), NOT
+    from a device-side reshape of [B, samples].  Under XLA's T(8,128) tiled
+    layouts that reshape is a physical relayout: profiling on v5e showed it
+    costs more than the kernel itself (306 µs of copies around a ~300 µs
+    kernel per 64 MiB).  Keeping the natural 3-D layout end-to-end makes the
+    pallas_call the only device op.
+
+    Stationary FIR everywhere; the caller must overwrite the first 2·sosLen
+    samples per block with the f64 head correction (see JRealFir).
+    """
+    B, rows, lanes = u32.shape
+    assert lanes == LANES, u32.shape
+    blk = 2 if B % 2 == 0 else 1   # 2 blocks/grid step pipelines DMA better
+    # int32 constants: python-int 0 lowers to i64 under x64 and Mosaic
+    # rejects i64 index-map returns
+    zero = np.int32(0)
+    return pl.pallas_call(
+        functools.partial(_kernel, taps=taps, conditioning=conditioning,
+                          rows=rows),
+        grid=(B // blk,),
+        in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(u32)
+
+
 def fused_nbfm_u32(u32: jax.Array, taps: tuple, conditioning: str = "shift",
                    interpret: bool = False) -> jax.Array:
     """u32: uint32 [B, samples] (the raw little-endian bytes viewed 4-at-a-
     time; samples % 128 == 0) → audio [B, samples] float32.
 
-    This is the fast entry: feeding uint32 straight from the host (a free
-    numpy .view) avoids the device-side u8→u32 relayout, which costs more
-    than the whole kernel (~1.9 ms vs ~1.2 ms per 64 MiB on v5e).
-
-    Stationary FIR everywhere; the caller must overwrite the first 2·sosLen
-    samples per block with the f64 head correction (see JRealFir).
+    Flat-shape wrapper.  Feeding uint32 straight from the host (a free
+    numpy .view) avoids the device-side u8→u32 relayout, but the flat
+    [B, samples] ↔ [B, rows, 128] reshapes still cost a tiled-layout copy
+    each way on TPU — the streaming runtime and bench feed
+    ``fused_nbfm_u32_3d`` with host-shaped [B, rows, 128] instead.
     """
     B, samples = u32.shape
     rows = samples // LANES
     assert samples % LANES == 0, samples
-    u32 = u32.reshape(B, rows, LANES)
-    # int32 constants: python-int 0 lowers to i64 under x64 and Mosaic
-    # rejects i64 index-map returns
-    zero = np.int32(0)
-    out = pl.pallas_call(
-        functools.partial(_kernel, taps=taps, conditioning=conditioning,
-                          rows=rows),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
-        interpret=interpret,
-    )(u32)
+    out = fused_nbfm_u32_3d(u32.reshape(B, rows, LANES), taps, conditioning,
+                            interpret)
     return out.reshape(B, samples)
 
 
 def fused_nbfm(raw: jax.Array, taps: tuple, conditioning: str = "shift",
                interpret: bool = False) -> jax.Array:
     """uint8 [B, n] (n % 512 == 0) → audio [B, n/4] float32.  Compatibility
-    wrapper: pays a device-side u8→u32 relayout; prefer fused_nbfm_u32 with
-    host-viewed uint32 input on the hot path."""
+    wrapper: pays a device-side u8→u32 relayout; prefer fused_nbfm_u32_3d
+    with host-viewed [B, rows, 128] uint32 input on the hot path."""
     B, n = raw.shape
     u32 = jax.lax.bitcast_convert_type(
         raw.reshape(B, n // 4, 4), jnp.uint32)
