@@ -86,20 +86,41 @@ class PolyResampler:
         K = taps.shape[0]
         self.dtype = dtype
         if self.L == 1:
-            # Framed-matmul formulation (the common decimate/FIR case):
-            # y[m] = Σ_p  frames[m−p] · h_p   with M-wide frames and the taps
-            # zero-padded to P·M.  Pure static slices + dot products — XLA:TPU
-            # compiles 1-D conv_general_dilated on long signals pathologically
-            # slowly (~minutes), while this lowers to P fused multiply-reduce
-            # steps in seconds.
+            # Banded-Toeplitz chunked-matmul formulation (the common
+            # decimate/FIR case).  The op is the correlation
+            #     y[t] = Σ_j hp[j] · xc[H + t·M − j],   j ∈ [0, P·M)
+            # with H = P·M−1 input history.  Tiling outputs into chunks of
+            # 128 (one lane row each) makes every chunk one real matmul:
+            #     y[c, :] = window[c, :] @ G,   window[c] = xc[c·128·M : +W]
+            # with W = (P+127)·M and G the [W, 128] banded tap matrix —
+            # large-contraction MXU work.  The alternatives both lose badly
+            # on TPU: lax.conv_general_dilated on long 1-D signals compiles
+            # pathologically slowly (~minutes), and P shifted
+            # slice+einsum(M) steps lower to VPU multiply-reduce chains
+            # plus a relayout copy per shift (measured 10+ ms per WBFM
+            # block vs ~0.5 ms for this form).  FLOP overhead of the band's
+            # zeros is (P+127)/128 ≈ 1–2×, paid on the MXU where it's free
+            # relative to the VPU alternative.
             P = -(-K // self.M)
             hp = np.zeros(P * self.M, np.float64)
             hp[:K] = taps
-            # hmat[p, i] = h[p·M + (M−1−i)]  (frame i runs forward in time)
-            self.hmat = jnp.asarray(
-                hp.reshape(P, self.M)[:, ::-1].copy(), dtype)
             self.P = P
             self.hist_len = P * self.M - 1
+            self.chunk = 128
+            stride = self.chunk * self.M
+            W = (P + self.chunk - 1) * self.M
+            s = -(-W // stride)
+            # G[r, u] = hp[u·M + P·M − 1 − r]  (zero outside the band),
+            # zero-padded to s·stride rows and pre-split into s [stride,
+            # chunk] pieces — one per frame-row offset (see __call__)
+            r = np.arange(s * stride)[:, None]
+            u = np.arange(self.chunk)[None, :]
+            j = u * self.M + P * self.M - 1 - r
+            ok = (j >= 0) & (j < P * self.M)
+            G = np.zeros((s * stride, self.chunk), np.float64)
+            G[ok] = hp[j[ok]]
+            self.gmats = [jnp.asarray(G[k * stride:(k + 1) * stride], dtype)
+                          for k in range(s)]
             self.kernel = None
             return
         # General rational case: upfirdn as a dilated/strided conv.
@@ -133,18 +154,30 @@ class PolyResampler:
         xc = jnp.concatenate(
             [jnp.broadcast_to(hist, (*lead, self.hist_len)), x], axis=-1)
         if self.kernel is None:
-            # framed matmul: xc local index of y[m]'s frame-i sample for
-            # shift p is (H+1−M−pM) + mM + i  (derivation in __init__)
-            H, M, P = self.hist_len, self.M, self.P
+            # banded chunked matmul (derivation in __init__):
+            #   y[c·chunk + u] = Σ_k (xr @ G_k)[c + k, u]
+            # with xr the padded input reshaped into non-overlapping
+            # [C+s, chunk·M] frame rows.  Matmul-ing the FULL frame tensor
+            # with each per-offset tap piece and adding row-shifted
+            # OUTPUTS (tiny [C+s, 128] tensors) avoids building overlapping
+            # windows of the big input — the concat-of-slices alternative
+            # pays several relayout copies of the whole signal; this form
+            # pays exactly one (the reshape) plus s MXU dots.
+            M, chunk, s = self.M, self.chunk, len(self.gmats)
+            stride = chunk * M
+            C = -(-Tout // chunk)
+            need = (C + s) * stride
+            xcp = jnp.pad(xc, [*[(0, 0)] * len(lead),
+                               (0, need - xc.shape[-1])])
+            xr = xcp.reshape(*lead, C + s, stride)
             y = None
-            for p in range(P):
-                start = H + 1 - M - p * M
-                frames = jax.lax.slice_in_dim(
-                    xc, start, start + Tout * M, axis=-1
-                ).reshape(*lead, Tout, M)
-                term = jnp.einsum("...tm,m->...t", frames, self.hmat[p],
-                                  preferred_element_type=self.dtype)
-                y = term if y is None else y + term
+            for k, gk in enumerate(self.gmats):
+                z = jnp.einsum("...rw,wu->...ru", xr, gk,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=self.dtype)
+                zk = jax.lax.slice_in_dim(z, k, k + C, axis=-2)
+                y = zk if y is None else y + zk
+            y = y.reshape(*lead, C * chunk)[..., :Tout]
             new_hist = xc[..., xc.shape[-1] - self.hist_len:]
             return y.astype(self.dtype), new_hist
         lhs = xc.reshape(-1, 1, xc.shape[-1]).astype(self.dtype)
