@@ -35,7 +35,8 @@ def parse_args(argv):
               "deviation": "75000", "deemphasis": "75",
               "checkpoint": None, "checkpoint_every": "64", "resume": False,
               "metrics": False, "trace": None,
-              "bank": None, "channel_rate": "192000"}
+              "bank": None, "channel_rate": "192000",
+              "shard_time": None, "distributed": False}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -49,10 +50,12 @@ def parse_args(argv):
             extras["resume"] = True
         elif a == "--metrics":
             extras["metrics"] = True
+        elif a == "--distributed":
+            extras["distributed"] = True
         elif a in ("--profile", "--precision", "--tail", "--iq-rate",
                    "--audio-rate", "--deviation", "--deemphasis",
                    "--checkpoint", "--checkpoint-every", "--trace",
-                   "--bank", "--channel-rate"):
+                   "--bank", "--channel-rate", "--shard-time"):
             i += 1
             if i >= len(argv):
                 raise SystemExit(f"option {a} requires an argument")
@@ -217,6 +220,10 @@ def main(argv=None) -> int:
     # bank mode manages its own per-channel outputs — never open/truncate -o
     fout = None if extras["bank"] else (
         sys.stdout.buffer if "-" in oarg else open(oarg, "wb"))
+    if extras["distributed"]:
+        # must run before ANY jax backend use (incl. the compile cache)
+        from .parallel.distributed import init_distributed
+        init_distributed()
     _enable_compile_cache()
     trace_ctx = None
     if extras["trace"]:
@@ -238,6 +245,26 @@ def main(argv=None) -> int:
                     print(f"checkpoint error: {e}", file=sys.stderr)
                     return -1
                 raise
+        if extras["shard_time"]:
+            if extras["wbfm"] or extras["checkpoint"] or extras["resume"]:
+                print("--shard-time is incompatible with --wbfm/--checkpoint"
+                      " (per-block NBFM stream only)", file=sys.stderr)
+                return -1
+            from .runtime.stream import ShardedStreamProcessor
+            cfg.num_channels = 1
+            sproc = ShardedStreamProcessor(
+                cfg, n_time=int(extras["shard_time"]),
+                fast_atan2=extras["fast_atan2"])
+            smet = None
+            if extras["metrics"]:
+                from .utils.metrics import StreamMetrics
+                smet = StreamMetrics(sproc.block_bytes,
+                                     sproc.block_bytes // 2)
+            sproc.run(fin, fout, tail_policy=extras["tail"], metrics=smet)
+            if smet is not None:
+                import json as _json
+                print(_json.dumps(smet.final()), file=sys.stderr)
+            return 0
         if extras["wbfm"]:
             from .models.wbfm import WbfmConfig, WbfmPipeline
             wcfg = WbfmConfig(sample_rate=float(extras["iq_rate"]),

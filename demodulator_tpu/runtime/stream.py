@@ -25,7 +25,7 @@ import numpy as np
 from ..config import DemodConfig
 from ..models.nbfm import BlockPipeline
 
-__all__ = ["BlockReader", "StreamProcessor"]
+__all__ = ["BlockReader", "StreamProcessor", "ShardedStreamProcessor"]
 
 
 class BlockReader:
@@ -72,6 +72,85 @@ class BlockReader:
                     raise self.error
                 return
             yield item
+
+
+class ShardedStreamProcessor:
+    """Time-sharded streaming: one long IQ stream over a device mesh.
+
+    Chunks of NB = n_time · blocks_per_shard blocks are sharded over the
+    mesh's ``time`` axis and processed by parallel.sharding.ShardedPipeline
+    (zero communication in the compat profile, except correctIq's O(1)
+    affine-summary all_gather; ppermute FIR halos in continuous).  The
+    stream tail (fewer than NB blocks) falls back to the per-block pipeline
+    carrying the same state, so output matches unsharded streaming to fp
+    tolerance.  For multi-host runs call
+    parallel.distributed.init_distributed() first and pass a global mesh.
+    """
+
+    def __init__(self, cfg: DemodConfig, n_time: int | None = None,
+                 fast_atan2: bool = False, blocks_per_shard: int = 2,
+                 mesh=None):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import make_demod_mesh, TIME_AXIS
+        from ..parallel.sharding import ShardedPipeline
+        cfg.validate()
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_demod_mesh(
+            n_time=n_time, n_chan=1)
+        n_t = self.mesh.devices.shape[0]
+        self.NB = n_t * max(1, blocks_per_shard)
+        self.sp = ShardedPipeline(cfg, self.mesh, fast_atan2=fast_atan2)
+        self.block_bytes = cfg.buf_size
+        self._raw_sh = NamedSharding(self.mesh, P(None, TIME_AXIS, None))
+        self._off_sh = NamedSharding(self.mesh, P(None, None))
+        self._jax = jax
+
+    def run(self, fin: BinaryIO, fout: BinaryIO,
+            tail_policy: str | None = None, metrics=None) -> int:
+        import jax
+        import jax.numpy as jnp
+        from ..models.nbfm import PipelineState
+        if tail_policy is None:
+            tail_policy = "drop" if self.cfg.profile == "compat" else "pad"
+        reader = BlockReader(fin, self.block_bytes, tail_policy=tail_policy)
+        out_dtype = self.cfg.np_dtype()
+        off = np.zeros((1, 2), dtype=out_dtype)
+        blocks = 0
+        buf: list[np.ndarray] = []
+
+        def flush_chunk():
+            nonlocal off, blocks
+            raw = np.stack(buf, axis=0)[None]          # [1, NB, n]
+            raw_g = jax.device_put(raw, self._raw_sh)
+            off_g = jax.device_put(off, self._off_sh)
+            new_off, audio = self.sp(off_g, raw_g)
+            fout.write(np.asarray(audio, dtype=out_dtype).tobytes())
+            off = np.asarray(new_off)
+            blocks += len(buf)
+            if metrics is not None:
+                for _ in buf:
+                    metrics.block_done()
+            buf.clear()
+
+        for raw in reader:
+            buf.append(raw)
+            if len(buf) == self.NB:
+                flush_chunk()
+        if buf:
+            # tail: per-block pipeline with the carried state (avoids a
+            # second sharded compile for every possible remainder length)
+            pipe = self.sp.pipe
+            st = PipelineState(iq_off=jnp.asarray(off))
+            fn = jax.jit(pipe.__call__)
+            for blk in buf:
+                st, out = fn(st, blk[None])
+                fout.write(np.asarray(out, dtype=out_dtype).tobytes())
+                blocks += 1
+                if metrics is not None:
+                    metrics.block_done()
+        fout.flush()
+        return blocks
 
 
 class StreamProcessor:

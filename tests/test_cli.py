@@ -112,3 +112,28 @@ def test_cli_channel_bank(tmp_path):
             assert abs(f[np.argmax(mag[3:]) + 3] - tone) < 30.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cli_shard_time(iq_data):
+    """--shard-time N: sharded streaming over a virtual 4-device time mesh
+    matches the unsharded CLI, including a non-multiple-of-NB tail and the
+    correctIq cross-shard state chain (-q1)."""
+    env8 = {**ENV, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    # 11 blocks of 4096 bytes: one full NB=8 chunk + 3-block tail
+    data = (iq_data.tobytes() * 4)[: 11 * 4096]
+    args = ["-S", "192000", "-l", "12500", "-b", "-6", "-q", "1"]
+    cmd = [sys.executable, "-m", "demodulator_tpu", "-i", "-", "-o", "-"]
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    plain = subprocess.run(cmd + args, input=data, capture_output=True,
+                           env=ENV, cwd=cwd)
+    assert plain.returncode == 0, plain.stderr.decode()
+    shard = subprocess.run(cmd + args + ["--shard-time", "4"], input=data,
+                           capture_output=True, env=env8, cwd=cwd)
+    assert shard.returncode == 0, shard.stderr.decode()
+    a = np.frombuffer(plain.stdout, dtype=np.float32)
+    b = np.frombuffer(shard.stdout, dtype=np.float32)
+    assert len(a) == len(b) == 11 * 1024
+    # the affine-prefix reconstruction of the correctIq chain differs from
+    # the sequential one by f32 rounding; atan2 near zero-magnitude samples
+    # amplifies that slightly (block-exactness is covered in test_sharding)
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-3)
