@@ -171,6 +171,72 @@ class BlockPipeline:
         return (self.fused_eligible and self.out_fir.Wh <= 128
                 and self.out_fir.H <= 128)
 
+    # -- fused path with the input lowpass (-L) fused in -----------------
+    def _inlpf_geometry(self):
+        """(n_pairs, W1_words, hy, Wt_words) for the head/coupling patches."""
+        inf, outf = self.in_fir, self.out_fir
+        n_pairs = max(2 * outf.Wh, inf.Hc)
+        n_pairs += n_pairs & 1            # discriminator consumes pairs of pairs
+        w1_pairs = max(inf.Whc, n_pairs + inf.Dc)
+        w1_words = -(-w1_pairs // 2)
+        hy = 0 if outf.y_coup is None else outf.y_coup.shape[0]
+        wt_words = -(-inf.Wtc // 2)
+        return n_pairs, w1_words, hy, wt_words
+
+    def fused_inlpf_eligible(self) -> bool:
+        """Pallas path for the -L configs: conditioning → complex FIR →
+        discriminator → audio FIR in one VMEM pass, head patches in XLA."""
+        if (not self.fast_atan2 or self.cfg.demod_mode() == 0
+                or self.in_fir is None or self.dc_fir is not None
+                or self.cfg.conditioning_kind() not in (0, 3)
+                or (self.cfg.buf_size // 4) % 128 != 0
+                or self.dtype != jnp.float32):
+            return False
+        n_pairs, w1_words, hy, wt_words = self._inlpf_geometry()
+        return (self.in_fir.Dc < 254 and w1_words <= 128
+                and self.out_fir.H <= 128 and hy <= 128 and wt_words <= 128)
+
+    def fused_call_inlpf_u32_3d(self, state: PipelineState, u32: jax.Array,
+                                interpret: bool = False):
+        """u32: uint32 [B, rows, 128] host-shaped → (state, audio
+        [B, rows, 128]).  Kernel computes the stationary interior of the
+        whole -L chain; the dense f64 corrections — complex-filter head
+        rows, audio head rows, and the audio filter's y-coupling from the
+        complex filter's arena overrun (ops.fir extraction of
+        src/filter.c:233-259 + src/matrix.c:260-266) — patch row 0."""
+        from ..ops.pallas.fused_nbfm import fused_nbfm_inlpf_u32_3d
+        assert self.fused_inlpf_eligible()
+        inf, outf = self.in_fir, self.out_fir
+        kind = self.cfg.conditioning_kind()
+        name = "normalize" if kind == 3 else "shift"
+        cond = (cond_ops.normalize_input if kind == 3
+                else cond_ops.shift_origin)
+        taps = tuple(float(t) for t in np.asarray(outf.taps))
+        ctaps = tuple(float(t) for t in np.asarray(inf.taps))
+        ci = tuple(float(v) for v in np.asarray(inf.c_int))
+        audio = fused_nbfm_inlpf_u32_3d(u32, ctaps, ci, taps, name,
+                                        interpret=interpret)
+
+        n_pairs, w1_words, hy, wt_words = self._inlpf_geometry()
+        B = u32.shape[0]
+        head_bytes = jax.lax.bitcast_convert_type(
+            u32[:, 0, :w1_words], jnp.uint8).reshape(B, 4 * w1_words)
+        head_pairs = cond(head_bytes, self.dtype).reshape(B, -1, 2)
+        filt = inf.pairs_head(head_pairs, n_pairs)       # [B, n_pairs, 2]
+        d_head = demod_ops.fm_demod(filt.reshape(B, -1), fast=True)
+        head = outf.head_only(d_head[..., : outf.Wh])
+        audio = audio.at[:, 0, : outf.H].set(head)
+        if hy:
+            tail_bytes = jax.lax.bitcast_convert_type(
+                u32[:, -1, -wt_words:], jnp.uint8).reshape(B, 4 * wt_words)
+            tail_pairs = cond(tail_bytes, self.dtype).reshape(B, -1, 2)
+            over = inf.over_only(head_pairs, tail_pairs)  # [B, Kc, 2]
+            add = jnp.einsum(
+                "hk,...k->...h", outf.y_coup,
+                over.reshape(B, -1).astype(jnp.float64)).astype(self.dtype)
+            audio = audio.at[:, 0, :hy].add(add)
+        return state, audio
+
     # -- state ----------------------------------------------------------
     def init_state(self, batch_shape=()) -> PipelineState:
         return PipelineState(
@@ -212,15 +278,32 @@ class BlockPipeline:
         d = demod_ops.fm_demod(demod_in, fast=self.fast_atan2)
         return self.out_fir(d, audio_y_init)
 
-    def _use_fused(self) -> bool:
-        if not self.fused_eligible:
-            return False
+    def _backend_wants_fused(self) -> bool:
         if self.backend == "fused":
             return True
         if self.backend == "auto":
             plat = jax.default_backend()
             return plat in ("tpu", "axon")
         return False
+
+    def _use_fused(self) -> bool:
+        return self.fused_eligible and self._backend_wants_fused()
+
+    def _use_fused_inlpf(self) -> bool:
+        return self.fused_inlpf_eligible() and self._backend_wants_fused()
+
+    def fused_call_inlpf(self, state: PipelineState, raw: jax.Array,
+                         interpret: bool = False):
+        """Flat uint8 wrapper of fused_call_inlpf_u32_3d (pays the
+        device-side relayouts; the streaming runtime feeds 3-D instead)."""
+        n = self.cfg.buf_size
+        lead = raw.shape[:-1]
+        rows = (n // 4) // 128
+        u32 = jax.lax.bitcast_convert_type(
+            raw.reshape(-1, n // 4, 4), jnp.uint32).reshape(-1, rows, 128)
+        state, audio = self.fused_call_inlpf_u32_3d(state, u32,
+                                                    interpret=interpret)
+        return state, audio.reshape(*lead, n >> 2)
 
     def __call__(self, state: PipelineState, raw: jax.Array):
         """raw: uint8 [..., buf_size] → (new_state, audio [..., buf_size/4])
@@ -230,6 +313,8 @@ class BlockPipeline:
         assert raw.shape[-1] == n
         if cfg.demod_mode() != 0 and self._use_fused():
             return self.fused_call(state, raw)
+        if cfg.demod_mode() != 0 and self._use_fused_inlpf():
+            return self.fused_call_inlpf(state, raw)
         if cfg.demod_mode() == 0:
             x = cond_ops.normalize_input(raw, self.dtype)
             pairs = x.reshape(*x.shape[:-1], n // 2, 2)

@@ -139,6 +139,31 @@ class JCplxFir:
             over = over + over_add
         return y, over
 
+    def pairs_head(self, x: jax.Array, n: int) -> jax.Array:
+        """Exact filtered FIRST n pairs from a head slice of conditioned
+        input.  x: [..., W, 2] with W ≥ max(Whc, n + Dc) and n ≥ Hc →
+        [..., n, 2].  Used to patch the fused Pallas kernel's
+        stationary-everywhere output (head rows in f64, like __call__)."""
+        assert n >= self.Hc and x.shape[-2] >= max(self.Whc, n + self.Dc)
+        y = self.taps[0] * x[..., :n, :]
+        for d in range(1, self.Dc + 1):
+            y = y + self.taps[d] * x[..., d: d + n, :]
+        y = y + self.c_int
+        xh = x[..., : self.Whc, :].astype(jnp.float64)
+        head_out = (jnp.einsum("hw,...wl->...hl", self.head, xh)
+                    + self.c_head).astype(self.dtype)
+        return jnp.concatenate([head_out, y[..., self.Hc:, :]], axis=-2)
+
+    def over_only(self, x_head: jax.Array, x_tail: jax.Array) -> jax.Array:
+        """Overrun rows [..., Kc, 2] from the first Whc and last Wtc
+        conditioned pairs (the tail/tail_alias/c_tail part of __call__);
+        feeds the audio filter's y-coupling patch on the fused path."""
+        xh = x_head[..., : self.Whc, :].astype(jnp.float64)
+        xt = x_tail[..., -self.Wtc:, :].astype(jnp.float64)
+        return (jnp.einsum("kw,...wl->...kl", self.tail, xt)
+                + jnp.einsum("kw,...wl->...kl", self.tail_alias, xh)
+                + self.c_tail).astype(self.dtype)
+
     def stationary(self, x: jax.Array, halo: jax.Array | None = None) -> jax.Array:
         """Continuous-profile application (see JRealFir.stationary).
 

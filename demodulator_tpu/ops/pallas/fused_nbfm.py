@@ -62,11 +62,73 @@ def _atan2_fast_recip(y: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.where(jnp.signbit(y), -at, at)
 
 
-def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
+def _roll_left(x, m, rows):
+    """Shift x [*, rows, 128] left by m samples in row-major lane order,
+    zero-filling past the end of the block (compat zero-state semantics).
+    m must be in [0, 128)."""
+    if m == 0:
+        return x
+    rax, cax = x.ndim - 2, x.ndim - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, cax)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, rax)
+    lane = pltpu.roll(x, shift=np.int32(LANES - m), axis=cax)
+    # for c >= 128−m the circular lane roll picked x[r, c+m−128]; the wanted
+    # sample x[r+1, c+m−128] is the same column one row down
+    up = pltpu.roll(lane, shift=np.int32(rows - 1), axis=rax)
+    shifted = jnp.where(col >= LANES - m, up, lane)
+    valid = (row < rows - 1) | (col < LANES - m)
+    return jnp.where(valid, shifted, jnp.float32(0.0))
+
+
+def _cplx_fir_lanes(a, b, c, d, cplx_taps, c_int, rows):
+    """Stationary complex-sample FIR on lane-packed IQ pairs.
+
+    Each lane holds two complex samples z_{2w}=(a,b), z_{2w+1}=(c,d); the
+    per-lane filter z'_s = c_int + Σ_k t[k]·z_{s+k} (anti-causal, zero past
+    block end — ops.fir.CplxFirOp stationary interior) becomes rolls of the
+    four component planes: even taps stay in-phase, odd taps cross between
+    the (a,b) and (c,d) sub-lattices with a one-lane shift for the odd
+    outputs."""
+    ci, cq = jnp.float32(c_int[0]), jnp.float32(c_int[1])
+    f32 = jnp.float32
+    a2 = jnp.full_like(a, ci)
+    b2 = jnp.full_like(b, cq)
+    c2 = jnp.full_like(c, ci)
+    d2 = jnp.full_like(d, cq)
+    cache = {}
+
+    def rolled(plane, name, m):
+        key = (name, m)
+        if key not in cache:
+            cache[key] = _roll_left(plane, m, rows)
+        return cache[key]
+
+    for k, t in enumerate(cplx_taps):
+        t = f32(t)
+        if k % 2 == 0:
+            m = k // 2
+            a2 = a2 + t * rolled(a, "a", m)
+            b2 = b2 + t * rolled(b, "b", m)
+            c2 = c2 + t * rolled(c, "c", m)
+            d2 = d2 + t * rolled(d, "d", m)
+        else:
+            m = (k - 1) // 2
+            a2 = a2 + t * rolled(c, "c", m)
+            b2 = b2 + t * rolled(d, "d", m)
+            c2 = c2 + t * rolled(a, "a", m + 1)
+            d2 = d2 + t * rolled(b, "b", m + 1)
+    return a2, b2, c2, d2
+
+
+def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
+            cplx_taps=None, c_int=None):
     """One grid step = ``blk`` IQ blocks (independent; leading dim).
 
     u32_ref: [blk, rows, 128] uint32 (4 raw bytes each) — rows*128 demod
     samples per block.  out_ref: [blk, rows, 128] float32 audio.
+    cplx_taps/c_int: optional input-lowpass stage (-L) — the stationary
+    interior of the reference's applyComplexFilter (src/filter.c:233-259)
+    between conditioning and the discriminator.
     """
     u = u32_ref[...]
     mask = jnp.uint32(0xFF)
@@ -89,6 +151,9 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows):
         d = b3.astype(jnp.float32) * denom - one
     else:  # pragma: no cover
         raise ValueError(conditioning)
+
+    if cplx_taps is not None:
+        a, b, c, d = _cplx_fir_lanes(a, b, c, d, cplx_taps, c_int, rows)
 
     zr = a * c + b * d
     zj = b * c - a * d
@@ -146,6 +211,34 @@ def fused_nbfm_u32_3d(u32: jax.Array, taps: tuple,
     return pl.pallas_call(
         functools.partial(_kernel, taps=taps, conditioning=conditioning,
                           rows=rows),
+        grid=(B // blk,),
+        in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(u32)
+
+
+@functools.partial(jax.jit, static_argnames=("cplx_taps", "c_int", "taps",
+                                             "conditioning", "interpret"))
+def fused_nbfm_inlpf_u32_3d(u32: jax.Array, cplx_taps: tuple, c_int: tuple,
+                            taps: tuple, conditioning: str = "shift",
+                            interpret: bool = False) -> jax.Array:
+    """fused_nbfm_u32_3d with the input lowpass (-L) stage fused in:
+    conditioning → complex stationary FIR (+ affine constants) →
+    discriminator → audio FIR, one VMEM pass.  The caller must overwrite
+    the audio head region with the dense f64 corrections (complex-filter
+    head rows, audio head rows, and the arena y-coupling from the complex
+    filter's overrun — see BlockPipeline.fused_call_inlpf_u32_3d)."""
+    B, rows, lanes = u32.shape
+    assert lanes == LANES, u32.shape
+    blk = 2 if B % 2 == 0 else 1
+    zero = np.int32(0)
+    return pl.pallas_call(
+        functools.partial(_kernel, taps=taps, conditioning=conditioning,
+                          rows=rows, cplx_taps=cplx_taps, c_int=c_int),
         grid=(B // blk,),
         in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
                                memory_space=pltpu.VMEM)],

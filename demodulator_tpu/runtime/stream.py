@@ -183,6 +183,14 @@ class StreamProcessor:
                 self.fn = lambda st, raw: f32c(
                     st, np.ascontiguousarray(raw).view(np.uint32)
                     .reshape(1, rows, 128))
+            elif self.pipe._use_fused_inlpf():
+                # -L configs: whole chain fused, same zero-copy 3-D feed
+                f32c = jax.jit(self.pipe.fused_call_inlpf_u32_3d,
+                               donate_argnums=(0,))
+                rows = (cfg.buf_size // 4) // 128
+                self.fn = lambda st, raw: f32c(
+                    st, np.ascontiguousarray(raw).view(np.uint32)
+                    .reshape(1, rows, 128))
             elif self.pipe._use_fused():
                 # feed host-viewed uint32 (free numpy .view) so the device
                 # never pays the u8→u32 relayout (~1.9 ms per 64 MiB)

@@ -77,3 +77,44 @@ def test_fused_chebyshev_taps():
     _, want = pipe(state, raw)
     _, got = pipe.fused_call(state, raw, interpret=True)
     assert snr_db(np.asarray(want).ravel(), np.asarray(got).ravel()) > 110.0
+
+
+@pytest.mark.parametrize("deg,q,m", [(3, 0, 0), (2, 3, 1), (5, 0, 0), (8, 0, 2)])
+def test_fused_inlpf_matches_xla(deg, q, m):
+    """The -L fused kernel (conditioning → complex FIR → discriminator →
+    audio FIR in one pass) vs the XLA path, interpret mode: tight SNR and
+    bit-exact head region (the dense f64 patches are the same code)."""
+    import jax.numpy as jnp
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=6500.0,
+                      lowpass_in=12500.0, in_filter_degree=deg, buf_size=BUF)
+    cfg.mode |= (q << 2) | (m & 3)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="xla")
+    assert pipe.fused_inlpf_eligible()
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(2, BUF), dtype=np.uint8)
+    st = pipe.init_state((2,))
+    _, want = pipe(st, raw)
+    _, got = pipe.fused_call_inlpf(st, jnp.asarray(raw), interpret=True)
+    w, g = np.asarray(want), np.asarray(got)
+    assert snr_db(w.ravel(), g.ravel()) > 110.0
+    H = pipe.out_fir.H
+    np.testing.assert_array_equal(g[:, :H], w[:, :H])
+
+
+def test_fused_inlpf_3d_bytes_identical():
+    """3-D and flat entries produce identical bytes (same kernel, same
+    patches; only the output shape differs)."""
+    import jax
+    import jax.numpy as jnp
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=6500.0,
+                      lowpass_in=12500.0, buf_size=BUF)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="xla")
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 256, size=(2, BUF), dtype=np.uint8)
+    st = pipe.init_state((2,))
+    _, flat = pipe.fused_call_inlpf(st, jnp.asarray(raw), interpret=True)
+    rows = (BUF // 4) // 128
+    u32 = jnp.asarray(raw.view(np.uint32).reshape(2, rows, 128))
+    _, a3d = pipe.fused_call_inlpf_u32_3d(st, u32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a3d).reshape(2, -1),
+                                  np.asarray(flat))
