@@ -118,22 +118,34 @@ class ChannelBankPipeline:
             self._build_audio_chain(dtype)
             return
 
-        # mixer LUT: e^{−j·2π·f_c·n/fs} for n in [0, T), host float64 once
-        n = np.arange(T, dtype=np.float64)
-        fr = np.asarray(cfg.offsets_hz, np.float64)[:, None] / fs
-        theta = -2.0 * np.pi * (fr * n % 1.0)
-        self.lut_cos = jnp.asarray(np.cos(theta), dtype)   # [C, T]
-        self.lut_sin = jnp.asarray(np.sin(theta), dtype)
-        # per-block phasor rotation e^{−j·2π·f_c·T/fs}
-        rot = -2.0 * np.pi * (fr[:, 0] * T % 1.0)
-        self.rot = jnp.asarray(np.stack([np.cos(rot), np.sin(rot)], -1),
-                               dtype)                       # [C, 2]
-
         # channel-select decimator (anti-alias at the channel Nyquist)
         taps = design_resampler_taps(1, D, fs,
                                      cutoff=0.45 * cfg.channel_rate,
                                      atten_db=cfg.atten_db)
-        self.chan = PolyResampler(1, D, taps, dtype)
+        # HIGH (3-pass bf16) dot precision: the channel-select stopband
+        # target is atten_db (≤ ~100 dB), far above bf16_3x's ~1e-6 rel
+        # error, and the mixer+decimate dots dominate the mixer path's cost
+        self.chan = PolyResampler(1, D, taps, dtype,
+                                  precision=jax.lax.Precision.HIGH)
+
+        # mixer LUT: e^{−j·2π·f_c·n/fs} for n in [0, T), host float64 once.
+        # When the block is a whole number of decimator frames the LUT is
+        # stored pre-framed [C, R, stride] and the whole full-rate front
+        # half runs in that layout (the flat→framed relayout of the [C,2,T]
+        # mixed signal otherwise costs more than the decimation dots — see
+        # PolyResampler.framed); otherwise the flat path is kept.
+        stride = self.chan.chunk * D
+        self.mixer_framed = (T % stride == 0)
+        n = np.arange(T, dtype=np.float64)
+        fr = np.asarray(cfg.offsets_hz, np.float64)[:, None] / fs
+        theta = -2.0 * np.pi * (fr * n % 1.0)
+        lut_shape = (C, T // stride, stride) if self.mixer_framed else (C, T)
+        self.lut_cos = jnp.asarray(np.cos(theta).reshape(lut_shape), dtype)
+        self.lut_sin = jnp.asarray(np.sin(theta).reshape(lut_shape), dtype)
+        # per-block phasor rotation e^{−j·2π·f_c·T/fs}
+        rot = -2.0 * np.pi * (fr[:, 0] * T % 1.0)
+        self.rot = jnp.asarray(np.stack([np.cos(rot), np.sin(rot)], -1),
+                               dtype)                       # [C, 2]
 
         self._build_audio_chain(dtype)
 
@@ -172,32 +184,54 @@ class ChannelBankPipeline:
         assert raw.shape[-1] == self.block_bytes
         if self.method == "pfb":
             return self._call_pfb(state, raw)
-        x = cond_ops.shift_origin(raw, self.dtype)
-        xi, xq = x[0::2], x[1::2]                         # [T]
+        T = self.block_complex
+        # u16-bitcast deinterleave+condition (a strided slice is an 876 µs
+        # GATHER per block on v5e — see cond_ops.split_iq)
+        xi, xq = cond_ops.split_iq(raw, self.dtype)
+        if self.mixer_framed:
+            # frame the (small, pre-expansion) conditioned signal once;
+            # every stage up to the decimation dot then stays in the
+            # layout-friendly [.., R, stride] shape — no relayout of the
+            # C×-expanded mixer output
+            stride = self.chan.chunk * self.chan.M
+            xi = xi.reshape(T // stride, stride)
+            xq = xq.reshape(T // stride, stride)
+            pc = state.phasor[:, :1, None]                  # [C, 1, 1]
+            ps = state.phasor[:, 1:, None]
+        else:
+            pc, ps = state.phasor[:, :1], state.phasor[:, 1:]
 
         # mixer: (xi + j·xq) · (lc + j·ls) · (pc + j·ps)
-        pc, ps = state.phasor[:, :1], state.phasor[:, 1:]  # [C, 1]
-        lc = self.lut_cos * pc - self.lut_sin * ps         # [C, T]
+        lc = self.lut_cos * pc - self.lut_sin * ps
         ls = self.lut_sin * pc + self.lut_cos * ps
         mi = xi * lc - xq * ls
         mq = xi * ls + xq * lc
+        iq = jnp.stack([mi, mq], axis=1)
+        # materialize the mixed signal: fusing the mixer multiplies into
+        # the decimation dot's operand demotes it to a slow VPU conv
+        # emitter (measured 876 us vs ~130 us for the bare MXU dot)
+        iq = jax.lax.optimization_barrier(iq)
 
-        iq = jnp.stack([mi, mq], axis=1)                   # [C, 2, T]
-        ciq, chan_hist = self.chan(iq, state.chan_hist)    # [C, 2, Tc]
+        if self.mixer_framed:
+            yf, chan_hist = self.chan.framed(iq, state.chan_hist)
+            ciq = yf.reshape(*yf.shape[:-2], -1)            # [C, 2, Tc] tiny
+        else:
+            ciq, chan_hist = self.chan(iq, state.chan_hist)
         inter = jnp.swapaxes(ciq, -1, -2).reshape(ciq.shape[0], -1)
         d = demod_ops.fm_demod(inter, fast=True)           # [C, Tc/2]
         audio, audio_hist = self.audio(d, state.audio_hist)
 
         # advance + renormalize the carry phasor (f32 drift control)
-        npc = pc[:, 0] * self.rot[:, 0] - ps[:, 0] * self.rot[:, 1]
-        nps = pc[:, 0] * self.rot[:, 1] + ps[:, 0] * self.rot[:, 0]
+        pc0, ps0 = state.phasor[:, 0], state.phasor[:, 1]   # [C]
+        npc = pc0 * self.rot[:, 0] - ps0 * self.rot[:, 1]
+        nps = pc0 * self.rot[:, 1] + ps0 * self.rot[:, 0]
         norm = jax.lax.rsqrt(npc * npc + nps * nps)
         phasor = jnp.stack([npc * norm, nps * norm], axis=-1)
         return ChannelBankState(phasor, chan_hist, audio_hist), audio
 
     def _call_pfb(self, state: ChannelBankState, raw: jax.Array):
-        x = cond_ops.shift_origin(raw, self.dtype)
-        iq = jnp.stack([x[0::2], x[1::2]], axis=0)          # [2, T]
+        xi, xq = cond_ops.split_iq(raw, self.dtype)
+        iq = jnp.stack([xi, xq], axis=0)                    # [2, T]
         chans, chan_hist = self.pfb(iq, state.chan_hist)    # [Cgrid, 2, Tc]
         sel = jnp.take(chans, self.pfb_rows, axis=0)        # [C, 2, Tc]
         inter = jnp.swapaxes(sel, -1, -2).reshape(sel.shape[0], -1)

@@ -166,6 +166,31 @@ class WbfmPipeline:
             x = cond_ops.shift_origin(raw, self.dtype)
         iq = x.reshape(*lead, n // 2, 2)          # [..., T, 2]
         iq = jnp.swapaxes(iq, -1, -2)             # [..., 2, T]
+        return self._forward(state, iq, lead)
+
+    def call_u16(self, state: WbfmState, u16: jax.Array):
+        """Fast entry: u16 [..., T] = the raw bytes host-viewed as uint16
+        (numpy ``.view(np.uint16)`` — free).  Each u16 holds one complex
+        sample (little-endian: low byte = I), so the deinterleave becomes
+        elementwise mask/shift instead of the device-side pair-pack
+        relayout __call__ pays (~1.3 ms per 30 MB batch on v5e)."""
+        lead = u16.shape[:-1]
+        bi = (u16 & jnp.uint16(0xFF)).astype(jnp.int32)
+        bq = (u16 >> 8).astype(jnp.int32)
+        if self.cfg.conditioning == "normalize":
+            denom = self.dtype(np.float32(2.0 / 255.0))
+            xi = bi.astype(self.dtype) * denom - self.dtype(1.0)
+            xq = bq.astype(self.dtype) * denom - self.dtype(1.0)
+        else:
+            xi = jnp.where(bi == 255, -128, bi - 127).astype(self.dtype)
+            xq = jnp.where(bq == 255, -128, bq - 127).astype(self.dtype)
+        iq = jnp.stack([xi, xq], axis=-2)         # [..., 2, T]
+        # materialize: fusing the byte-unpack into the decimation dot's
+        # operand demotes it to a slow VPU shift+reduce emitter
+        iq = jax.lax.optimization_barrier(iq)
+        return self._forward(state, iq, lead)
+
+    def _forward(self, state: WbfmState, iq: jax.Array, lead):
         ciq, chan_hist = self.chan(iq, state.chan_hist)
         # interleave back for the discriminator's pair layout
         inter = jnp.swapaxes(ciq, -1, -2).reshape(*lead, -1)

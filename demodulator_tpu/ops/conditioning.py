@@ -13,7 +13,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["shift_origin", "normalize_input", "correct_iq"]
+__all__ = ["shift_origin", "normalize_input", "correct_iq", "split_iq"]
+
+
+def split_iq(raw: jax.Array, dtype=jnp.float32, kind: str = "shift"):
+    """Deinterleave + condition uint8 IQ: [..., 2T] → (I [..., T], Q [..., T]).
+
+    Strided slices (``raw[0::2]``) lower to XLA GATHER ops on TPU — measured
+    876 µs per 123k-complex-sample block on v5e, dominating the channel-bank
+    step — while a bitcast to uint16 plus byte shifts is elementwise and
+    effectively free.  Little-endian byte order puts the first (I) byte in
+    the low half, the same convention the fused NBFM kernel's u32 bitcast
+    relies on (pinned against the C binary by the golden tests).
+    """
+    *lead, n2 = raw.shape
+    u16 = jax.lax.bitcast_convert_type(
+        raw.reshape(*lead, n2 // 2, 2), jnp.uint16)
+    bi = (u16 & jnp.uint16(0xFF)).astype(jnp.int32)
+    bq = (u16 >> 8).astype(jnp.int32)
+    if kind == "shift":
+        xi = jnp.where(bi == 255, -128, bi - 127).astype(dtype)
+        xq = jnp.where(bq == 255, -128, bq - 127).astype(dtype)
+    elif kind == "normalize":
+        denom = dtype(np.float32(2.0 / 255.0)) if dtype == jnp.float32 \
+            else dtype(2.0 / 255.0)
+        xi = bi.astype(dtype) * denom - dtype(1.0)
+        xq = bq.astype(dtype) * denom - dtype(1.0)
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    return xi, xq
 
 
 def shift_origin(buf: jax.Array, dtype=jnp.float32) -> jax.Array:

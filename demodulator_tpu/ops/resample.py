@@ -79,7 +79,12 @@ class PolyResampler:
     """
 
     def __init__(self, L: int, M: int, taps: np.ndarray,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST):
+        """precision: MXU dot precision for the banded-matmul path.
+        HIGHEST (6-pass, ~f32 exact) by default; callers whose stopband
+        target is ≤ ~100 dB can pass HIGH (3-pass bf16, ~1e-6 rel error)
+        for ~2x on the dot-bound stages."""
+        self.precision = precision
         g = math.gcd(L, M)
         self.L, self.M = L // g, M // g
         taps = np.asarray(taps, np.float64)
@@ -121,6 +126,8 @@ class PolyResampler:
             G[ok] = hp[j[ok]]
             self.gmats = [jnp.asarray(G[k * stride:(k + 1) * stride], dtype)
                           for k in range(s)]
+            self._hp = hp                # f64 padded taps, for framed()
+            self._framed_mats = None     # built lazily by framed()
             self.kernel = None
             return
         # General rational case: upfirdn as a dilated/strided conv.
@@ -145,6 +152,67 @@ class PolyResampler:
 
     def init_hist(self, batch_shape=()) -> jax.Array:
         return jnp.zeros((*batch_shape, self.hist_len), self.dtype)
+
+    def _framed_geometry(self):
+        """(stride, s', hr, G'_k list) for the framed entry (L == 1 only).
+
+        Derivation: with xcp' = zeros(hr·stride − H) ++ hist ++ x the op is
+        y[t] = Σ_j hp[j]·xcp'[hr·stride + t·M − j]; splitting xcp' into
+        stride-rows i and writing k = hr + c − i gives
+            y[c·chunk + u] = Σ_k (xr' @ G'_k)[hr − k + c, u],
+            G'_k[w, u] = hp[k·stride + u·M − w]   (zero outside [0, P·M)).
+        hr = max(⌈H/stride⌉, s'−1) zero-padded history rows keep every row
+        slice in range (the extra all-zero rows contribute nothing).
+        """
+        if self._framed_mats is None:
+            M, chunk, P = self.M, self.chunk, self.P
+            stride = chunk * M
+            s = (P * M - 1 + (chunk - 1) * M) // stride + 1
+            hr = max(-(-self.hist_len // stride), s - 1)
+            hp = self._hp
+            mats = []
+            for k in range(s):
+                w = np.arange(stride)[:, None]
+                u = np.arange(chunk)[None, :]
+                j = k * stride + u * M - w
+                ok = (j >= 0) & (j < P * M)
+                G = np.zeros((stride, chunk), np.float64)
+                G[ok] = hp[j[ok]]
+                mats.append(jnp.asarray(G, self.dtype))
+            self._framed_mats = (stride, s, hr, mats)
+        return self._framed_mats
+
+    def framed(self, x_frames: jax.Array, hist: jax.Array):
+        """Layout-friendly L==1 entry: x pre-framed as [..., R, stride]
+        (a host/natural reshape of [..., R·stride]; stride = chunk·M), so
+        no device-side flat→framed relayout of the full-rate signal is ever
+        paid — on TPU that relayout costs more than the dots (measured
+        ~1.5 ms of the mixer-path channel bank's ~2.1 ms step).
+
+        Returns (y [..., C, chunk] with C = R·stride/(chunk·M) = R, and
+        new_hist [..., hist_len]).  Numerically identical to __call__ on
+        the flattened input.
+        """
+        assert self.kernel is None and self.L == 1
+        stride, s, hr, mats = self._framed_geometry()
+        *lead, R, st = x_frames.shape
+        assert st == stride, (st, stride)
+        H = self.hist_len
+        hist_rows = jnp.pad(
+            hist, [*[(0, 0)] * (hist.ndim - 1), (hr * stride - H, 0)]
+        ).reshape(*lead, hr, stride)
+        xr = jnp.concatenate([hist_rows, x_frames], axis=-2)  # [.., hr+R, st]
+        y = None
+        for k, gk in enumerate(mats):
+            z = jnp.einsum("...rw,wu->...ru", xr, gk,
+                           precision=self.precision,
+                           preferred_element_type=self.dtype)
+            zk = jax.lax.slice_in_dim(z, hr - k, hr - k + R, axis=-2)
+            y = zk if y is None else y + zk
+        # new history: last H samples of x (tiny flat slice)
+        tail_rows = -(-H // stride)
+        tail = x_frames[..., R - tail_rows:, :].reshape(*lead, -1)
+        return y, tail[..., -H:]
 
     def __call__(self, x: jax.Array, hist: jax.Array):
         """x: [..., T] → (y [..., T·L/M], new_hist [..., hist_len])."""
@@ -173,7 +241,7 @@ class PolyResampler:
             y = None
             for k, gk in enumerate(self.gmats):
                 z = jnp.einsum("...rw,wu->...ru", xr, gk,
-                               precision=jax.lax.Precision.HIGHEST,
+                               precision=self.precision,
                                preferred_element_type=self.dtype)
                 zk = jax.lax.slice_in_dim(z, k, k + C, axis=-2)
                 y = zk if y is None else y + zk

@@ -202,8 +202,15 @@ class StreamProcessor:
                 self.fn = self.pipe.jit_block_fn()
         else:
             self.pipe = pipeline
-            self.fn = jax.jit(pipeline.__call__)
             self.block_bytes = pipeline.block_bytes
+            if hasattr(pipeline, "call_u16"):
+                # host-viewed uint16 (one complex sample per element):
+                # skips the device-side byte-pair pack (WBFM)
+                f16 = jax.jit(pipeline.call_u16)
+                self.fn = lambda st, raw: f16(
+                    st, np.ascontiguousarray(raw).view(np.uint16))
+            else:
+                self.fn = jax.jit(pipeline.__call__)
         self.inflight = max(1, inflight)
         self.use_native = use_native
 
