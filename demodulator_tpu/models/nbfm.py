@@ -330,13 +330,24 @@ class BlockPipeline:
     def process_blocks(self, state: PipelineState, raw: jax.Array):
         """raw: uint8 [B, n] → (state, audio [B, n/4]).
 
-        Conditioning mode 1 carries DC-tracker state sequentially across
-        blocks (lax.scan over the block axis); every other mode is
-        embarrassingly parallel in time (§1 fact 3 of SURVEY.md).
+        Conditioning mode 1's DC tracker chains through every block, but
+        the recurrence is affine, so the chain reduces to per-block
+        2-vector summaries + a log-depth prefix over the block axis
+        (cond_ops.correct_iq_block_prefix) — every block then conditions
+        and demodulates in parallel.  A lax.scan over blocks is ~40x
+        slower on TPU (measured 47 ms vs ~1 ms per 64-block step).  Every
+        other mode is embarrassingly parallel outright (§1 fact 3 of
+        SURVEY.md).
         """
-        if self.cfg.conditioning_kind() == 1:
-            def step(st, blk):
-                st, out = self(st, blk)
-                return st, out
-            return jax.lax.scan(step, state, raw)
-        return self(state, raw)
+        if self.cfg.conditioning_kind() != 1:
+            return self(state, raw)
+        n = self.cfg.buf_size
+        decay = cond_ops.correct_iq_decay(n, self.esr, self.dtype)
+        a_tot = (decay[-1] * decay[1]).astype(self.dtype)
+        out0, b_tot = cond_ops.correct_iq_zero(raw, self.esr, self.dtype)
+        off_before, (A, b) = cond_ops.correct_iq_block_prefix(
+            a_tot, b_tot, state.iq_off)
+        final = A * state.iq_off + b
+        cond = cond_ops.correct_iq_apply_offset(out0, off_before, decay)
+        audio = self.post_condition(cond, None)
+        return PipelineState(iq_off=final), audio

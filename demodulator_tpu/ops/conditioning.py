@@ -75,6 +75,10 @@ def correct_iq(buf: jax.Array, off: jax.Array, esr, dtype=jnp.float32):
 
     buf: uint8 [..., L].  Returns (out [..., L] dtype, new_off [..., 2]).
     """
+    # the decay base must stay a python float (host constant for the
+    # geometric matrices); take it before the jnp cast
+    a_scalar = 1.0 - 2.0 * float(np.float32(esr) if dtype == jnp.float32
+                                 else esr)
     esr = dtype(esr)
     L = buf.shape[-1]
     n = L >> 2
@@ -83,23 +87,64 @@ def correct_iq(buf: jax.Array, off: jax.Array, esr, dtype=jnp.float32):
     back_flat = fb[..., L // 2:].reshape(*buf.shape[:-1], n, 2)
     back = jnp.flip(back_flat, axis=-2)                          # pair k = L-2k-2
     s = (front + back) * esr                                     # b_k per lane
-    a = jnp.full_like(s, dtype(1.0) - (esr + esr))
 
-    def combine(l, r):
-        return (l[0] * r[0], l[1] * r[0] + r[1])
-
-    a_inc, b_inc = jax.lax.associative_scan(combine, (a, s), axis=-2)
-    # exclusive prefix: off before step k
-    ones = jnp.ones_like(a_inc[..., :1, :])
-    zeros = jnp.zeros_like(ones)
-    a_exc = jnp.concatenate([ones, a_inc[..., :-1, :]], axis=-2)
-    b_exc = jnp.concatenate([zeros, b_inc[..., :-1, :]], axis=-2)
-    off_b = a_exc * off[..., None, :] + b_exc                    # [..., n, 2]
-    new_off = a_inc[..., -1, :] * off + b_inc[..., -1, :]
+    off_b, new_off = _geometric_prefix(s, a_scalar, off, dtype)
 
     out_front = (front - off_b).reshape(*buf.shape[:-1], L // 2)
     out_back = jnp.flip(back - off_b, axis=-2).reshape(*buf.shape[:-1], L // 2)
     return jnp.concatenate([out_front, out_back], axis=-1), new_off
+
+
+def _geometric_prefix(s: jax.Array, a: float, off: jax.Array, dtype):
+    """Exclusive prefix of the affine recurrence x_{k+1} = a·x_k + s_k.
+
+    Returns (off_b [..., n, 2] — the state BEFORE step k — and the final
+    state [..., 2]).  A flat associative_scan over n materializes log2(n)
+    full-size intermediate passes (~17 HBM round-trips for 64 Ki steps);
+    instead the scan is blocked into 128-step chunks: the within-chunk
+    prefixes are ONE matmul with a lower-triangular geometric Toeplitz
+    matrix (MXU work, contraction 128), and only the n/128 chunk summaries
+    see an associative_scan.  Exact in real arithmetic; f32 rounding
+    differs from the sequential order by ~1e-7 relative (the recurrence is
+    contracting).
+    """
+    n = s.shape[-2]
+    C = 128
+    if n % C:
+        # fallback: flat scan (small/odd blocks only)
+        a_vec = jnp.full_like(s, dtype(a))
+
+        def combine(l, r):
+            return (l[0] * r[0], l[1] * r[0] + r[1])
+
+        a_inc, b_inc = jax.lax.associative_scan(combine, (a_vec, s), axis=-2)
+        ones = jnp.ones_like(a_inc[..., :1, :])
+        zeros = jnp.zeros_like(ones)
+        a_exc = jnp.concatenate([ones, a_inc[..., :-1, :]], axis=-2)
+        b_exc = jnp.concatenate([zeros, b_inc[..., :-1, :]], axis=-2)
+        off_b = a_exc * off[..., None, :] + b_exc
+        return off_b, a_inc[..., -1, :] * off + b_inc[..., -1, :]
+    import numpy as np
+    m = n // C
+    lead = s.shape[:-2]
+    sc = s.reshape(*lead, m, C, 2)
+    k = np.arange(C)
+    # T[k, j] = a^(k-1-j) for j < k (exclusive within-chunk prefix)
+    expo = k[:, None] - 1 - k[None, :]
+    T = np.where(expo >= 0, np.power(float(a), np.maximum(expo, 0)), 0.0)
+    Tj = jnp.asarray(T, dtype)
+    w = jnp.asarray(np.power(float(a), C - 1 - k), dtype)       # summary row
+    p_within = jnp.einsum("kj,...jl->...kl", Tj, sc,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=dtype)
+    b_chunk = jnp.einsum("j,...jl->...l", w, sc,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=dtype)          # [..., m, 2]
+    a_chunk = float(a) ** C
+    off_chunk, (A, b) = correct_iq_block_prefix(dtype(a_chunk), b_chunk, off)
+    apow = jnp.asarray(np.power(float(a), k), dtype)
+    off_b = (apow[:, None] * off_chunk[..., :, None, :] + p_within)
+    return off_b.reshape(*lead, n, 2), A * off + b
 
 
 def correct_iq_zero(buf: jax.Array, esr, dtype=jnp.float32):
@@ -127,6 +172,32 @@ def correct_iq_decay(L: int, esr, dtype=jnp.float32) -> jax.Array:
     a = 1.0 - 2.0 * float(np.float32(esr) if dtype == jnp.float32 else esr)
     pows = np.power(a, np.arange(L >> 2, dtype=np.float64))
     return jnp.asarray(pows, dtype)
+
+
+def correct_iq_block_prefix(a_tot: jax.Array, b_tot: jax.Array,
+                            off0: jax.Array):
+    """Exclusive affine prefix over a block axis (axis -2 of b_tot).
+
+    a_tot: scalar decay per block ((1-2·esr)^(L/4)); b_tot: [..., NB, 2]
+    per-block summaries from correct_iq_zero; off0: [..., 2] incoming
+    state.  Returns (off_before [..., NB, 2] — the tracker state entering
+    each block — and the (A_loc, b_loc) affine summary of the whole span,
+    for chaining across shards/chunks).  log-depth, O(NB) work: this is
+    what makes batched multi-block correctIq embarrassingly parallel
+    instead of a lax.scan over blocks.
+    """
+    a_vec = jnp.full_like(b_tot, a_tot)
+
+    def combine(l, r):
+        return (l[0] * r[0], l[1] * r[0] + r[1])
+
+    a_inc, b_inc = jax.lax.associative_scan(combine, (a_vec, b_tot), axis=-2)
+    ones = jnp.ones_like(a_inc[..., :1, :])
+    zeros = jnp.zeros_like(ones)
+    a_exc = jnp.concatenate([ones, a_inc[..., :-1, :]], axis=-2)
+    b_exc = jnp.concatenate([zeros, b_inc[..., :-1, :]], axis=-2)
+    off_before = a_exc * off0[..., None, :] + b_exc
+    return off_before, (a_inc[..., -1, :], b_inc[..., -1, :])
 
 
 def correct_iq_apply_offset(out0: jax.Array, off0: jax.Array,

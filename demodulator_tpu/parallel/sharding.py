@@ -38,26 +38,9 @@ from .mesh import TIME_AXIS, CHAN_AXIS
 __all__ = ["ShardedPipeline"]
 
 
-def _affine_prefix_blocks(a_tot: jax.Array, b_tot: jax.Array, off0: jax.Array):
-    """Exclusive affine prefix over the local block axis.
-
-    a_tot: scalar decay per block; b_tot: [..., NB, 2] per-block summaries;
-    off0: [..., 2] incoming state.  Returns (off_before [..., NB, 2],
-    (A_loc, b_loc) shard summary).
-    """
-    nb = b_tot.shape[-2]
-    a_vec = jnp.full_like(b_tot, a_tot)
-
-    def combine(l, r):
-        return (l[0] * r[0], l[1] * r[0] + r[1])
-
-    a_inc, b_inc = jax.lax.associative_scan(combine, (a_vec, b_tot), axis=-2)
-    ones = jnp.ones_like(a_inc[..., :1, :])
-    zeros = jnp.zeros_like(ones)
-    a_exc = jnp.concatenate([ones, a_inc[..., :-1, :]], axis=-2)
-    b_exc = jnp.concatenate([zeros, b_inc[..., :-1, :]], axis=-2)
-    off_before = a_exc * off0[..., None, :] + b_exc
-    return off_before, (a_inc[..., -1, :], b_inc[..., -1, :])
+# exclusive affine prefix over the local block axis — shared with the
+# single-chip batched path (models.nbfm.BlockPipeline.process_blocks)
+_affine_prefix_blocks = cond_ops.correct_iq_block_prefix
 
 
 def _cross_shard_offset(summary, off0, axis: str):

@@ -134,3 +134,32 @@ def test_centered_sample_block_parity(ref_binary):
     mine = np.asarray(pipe(pipe.init_state(), iq.reshape(3, 4096))[1]).ravel()
     n = 2 * 1024  # deterministic non-final blocks
     assert snr_db(ref[:n], mine[:n]) > 110.0
+
+
+def test_split_iq_matches_strided():
+    """split_iq (u16-bitcast deinterleave) == conditioned strided slices,
+    bit-for-bit, both conditioning kinds."""
+    import jax.numpy as jnp
+    from demodulator_tpu.ops import conditioning as cond_ops
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=(3, 512), dtype=np.uint8)
+    raw[0, :4] = [255, 0, 127, 128]  # wrap corners
+    for kind, ref in [("shift", cond_ops.shift_origin),
+                      ("normalize", cond_ops.normalize_input)]:
+        xi, xq = cond_ops.split_iq(jnp.asarray(raw), kind=kind)
+        want = np.asarray(ref(jnp.asarray(raw)))
+        np.testing.assert_array_equal(np.asarray(xi), want[:, 0::2])
+        np.testing.assert_array_equal(np.asarray(xq), want[:, 1::2])
+
+
+def test_wbfm_call_u16_matches_u8():
+    """WBFM's host-u16 entry == the uint8 entry exactly."""
+    import jax.numpy as jnp
+    from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+    pipe = WbfmPipeline(WbfmConfig(block_seconds=0.01))
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, size=pipe.block_bytes, dtype=np.uint8)
+    st = pipe.init_state()
+    _, a8 = pipe(st, jnp.asarray(raw))
+    _, a16 = pipe.call_u16(st, jnp.asarray(raw.view(np.uint16)))
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(a8), atol=1e-6)

@@ -100,3 +100,22 @@ def test_kaiser_lowpass_basic():
     h = kaiser_lowpass(101, 1000.0, 8000.0)
     assert len(h) == 101 and abs(h.sum() - 1.0) < 1e-12
     np.testing.assert_allclose(h, h[::-1])  # linear phase
+
+
+def test_framed_matches_flat():
+    """PolyResampler.framed == __call__ on the flattened input (both the
+    outputs and the carried history), across decimation factors."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    for M, R in [(8, 4), (4, 3), (1, 2)]:
+        taps = design_resampler_taps(1, M, 192000.0 * M, atten_db=70.0)
+        r = PolyResampler(1, M, taps)
+        stride = r.chunk * M
+        x = rng.standard_normal((2, R * stride)).astype(np.float32)
+        hist = rng.standard_normal((2, r.hist_len)).astype(np.float32)
+        y_ref, h_ref = r(jnp.asarray(x), jnp.asarray(hist))
+        y_fr, h_fr = r.framed(jnp.asarray(x).reshape(2, R, stride),
+                              jnp.asarray(hist))
+        np.testing.assert_allclose(np.asarray(y_fr).reshape(2, -1),
+                                   np.asarray(y_ref), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(h_fr), np.asarray(h_ref))
