@@ -171,10 +171,22 @@ class BlockPipeline:
         return (self.fused_eligible and self.out_fir.Wh <= 128
                 and self.out_fir.H <= 128)
 
-    # -- fused path with the input lowpass (-L) fused in -----------------
+    # -- fused path with a complex-FIR stage (-L or -q2) fused in ---------
+    def _fused_cplx_stage(self):
+        """The single complex-FIR stage on the fused path: the -L input
+        lowpass, or the -q2 DC-block highpass (src/matrix.c:142-157) —
+        structurally the same conditioning → complex FIR → discriminator
+        chain.  None when the chain has zero or two complex stages
+        (-q2 combined with -L stays on the XLA path)."""
+        if self.in_fir is not None and self.dc_fir is None:
+            return self.in_fir
+        if self.dc_fir is not None and self.in_fir is None:
+            return self.dc_fir
+        return None
+
     def _inlpf_geometry(self):
         """(n_pairs, W1_words, hy, Wt_words) for the head/coupling patches."""
-        inf, outf = self.in_fir, self.out_fir
+        inf, outf = self._fused_cplx_stage(), self.out_fir
         n_pairs = max(2 * outf.Wh, inf.Hc)
         n_pairs += n_pairs & 1            # discriminator consumes pairs of pairs
         w1_pairs = max(inf.Whc, n_pairs + inf.Dc)
@@ -184,16 +196,19 @@ class BlockPipeline:
         return n_pairs, w1_words, hy, wt_words
 
     def fused_inlpf_eligible(self) -> bool:
-        """Pallas path for the -L configs: conditioning → complex FIR →
-        discriminator → audio FIR in one VMEM pass, head patches in XLA."""
+        """Pallas path for the -L and -q2 configs: conditioning → complex
+        FIR → discriminator → audio FIR in one VMEM pass, head patches in
+        XLA.  -q2's conditioning is shiftOrigin (src/matrix.c:151), so its
+        kernel differs from -L's only in which SOS the taps came from."""
+        stage = self._fused_cplx_stage()
         if (not self.fast_atan2 or self.cfg.demod_mode() == 0
-                or self.in_fir is None or self.dc_fir is not None
-                or self.cfg.conditioning_kind() not in (0, 3)
+                or stage is None
+                or self.cfg.conditioning_kind() not in (0, 2, 3)
                 or (self.cfg.buf_size // 4) % 128 != 0
                 or self.dtype != jnp.float32):
             return False
         n_pairs, w1_words, hy, wt_words = self._inlpf_geometry()
-        return (self.in_fir.Dc < 254 and w1_words <= 128
+        return (stage.Dc < 254 and w1_words <= 128
                 and self.out_fir.H <= 128 and hy <= 128 and wt_words <= 128)
 
     def fused_call_inlpf_u32_3d(self, state: PipelineState, u32: jax.Array,
@@ -206,7 +221,7 @@ class BlockPipeline:
         src/filter.c:233-259 + src/matrix.c:260-266) — patch row 0."""
         from ..ops.pallas.fused_nbfm import fused_nbfm_inlpf_u32_3d
         assert self.fused_inlpf_eligible()
-        inf, outf = self.in_fir, self.out_fir
+        inf, outf = self._fused_cplx_stage(), self.out_fir
         kind = self.cfg.conditioning_kind()
         name = "normalize" if kind == 3 else "shift"
         cond = (cond_ops.normalize_input if kind == 3

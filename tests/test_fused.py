@@ -101,6 +101,29 @@ def test_fused_inlpf_matches_xla(deg, q, m):
     np.testing.assert_array_equal(g[:, :H], w[:, :H])
 
 
+@pytest.mark.parametrize("m", [0, 1])
+def test_fused_dcblock_matches_xla(m):
+    """-q2 (highpassDc, src/matrix.c:142-157) rides the same fused kernel:
+    the DC-block is a complex FIR between conditioning and the
+    discriminator — exactly the -L chain with the degree-3 Butterworth HP
+    at 1 Hz as the stage taps."""
+    import jax.numpy as jnp
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      buf_size=BUF)
+    cfg.mode |= (2 << 2) | (m & 1)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="xla")
+    assert pipe.fused_inlpf_eligible()
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, size=(2, BUF), dtype=np.uint8)
+    st = pipe.init_state((2,))
+    _, want = pipe(st, raw)
+    _, got = pipe.fused_call_inlpf(st, jnp.asarray(raw), interpret=True)
+    w, g = np.asarray(want), np.asarray(got)
+    assert snr_db(w.ravel(), g.ravel()) > 110.0
+    H = pipe.out_fir.H
+    np.testing.assert_array_equal(g[:, :H], w[:, :H])
+
+
 def test_fused_inlpf_3d_bytes_identical():
     """3-D and flat entries produce identical bytes (same kernel, same
     patches; only the output shape differs)."""
