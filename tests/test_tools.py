@@ -113,3 +113,19 @@ def test_plot_reader_chunking():
     chunks = list(plot.reader(io.BytesIO(data.tobytes()), 4096, np.float32))
     assert len(chunks) == 2  # partial tail dropped
     np.testing.assert_array_equal(chunks[0], data[:4096])
+
+
+def test_bench_scaling_harness():
+    """Weak-scaling harness runs on a 2-device virtual mesh and emits one
+    valid JSON line per device count with an efficiency field."""
+    import json
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"),
+         "--virtual", "2", "--blocks-per-device", "1", "--repeats", "1"],
+        capture_output=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+    lines = [json.loads(l) for l in r.stdout.decode().splitlines() if l]
+    assert [l["devices"] for l in lines] == [1, 2]
+    assert all(l["msps"] > 0 and "efficiency" in l for l in lines)
