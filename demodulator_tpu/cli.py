@@ -199,6 +199,10 @@ def main(argv=None) -> int:
     cfg.profile = extras["profile"]
     cfg.precision = extras["precision"]
     cfg.validate()
+    if cfg.profile == "continuous" and (extras["wbfm"] or extras["bank"]):
+        print("--profile continuous applies to the NBFM stream paths only "
+              "(not --wbfm/--bank)", file=sys.stderr)
+        return -1
 
     if extras["verbose_design"]:
         _dump_design(cfg)

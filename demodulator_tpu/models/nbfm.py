@@ -252,6 +252,72 @@ class BlockPipeline:
             audio = audio.at[:, 0, :hy].add(add)
         return state, audio
 
+    # -- continuous profile (BASELINE config 3) ---------------------------
+    @property
+    def halo_pairs(self) -> int:
+        """Complex samples of the NEXT block's conditioned head that the
+        stationary (anti-causal) filter chain needs to continue across a
+        block boundary without per-block transients: 2 input pairs per
+        audio-filter tap reach, plus each complex stage's own reach.
+        Rounded up to even so the discriminator's 2:1 pairing never
+        straddles the halo edge."""
+        hp = 2 * self.out_fir.D
+        if self.in_fir is not None:
+            hp += self.in_fir.Dc
+        if self.dc_fir is not None:
+            hp += self.dc_fir.Dc
+        return hp + (hp & 1)
+
+    def condition_block(self, state: PipelineState, raw: jax.Array):
+        """Conditioning stage alone: uint8 [..., n] → (new_state, cond).
+
+        Split out for the continuous profile, where block k's filters need
+        block k+1's CONDITIONED head: conditioning stays per-block (the
+        correctIq tracker's two-ended order is defined over a block,
+        src/matrix.c:120-140) while the filters become stationary.  kind 2
+        conditions with shift_origin only — its DC-block highpass is a
+        filter, so in the continuous profile it runs as a stationary stage
+        of continuous_post (matching parallel.sharding's sharded step)."""
+        kind = self.cfg.conditioning_kind()
+        if kind == 1:
+            out, off = cond_ops.correct_iq(raw, state.iq_off, self.esr,
+                                           self.dtype)
+            return PipelineState(iq_off=off), out
+        if kind == 3:
+            return state, cond_ops.normalize_input(raw, self.dtype)
+        return state, cond_ops.shift_origin(raw, self.dtype)
+
+    def continuous_post(self, cond: jax.Array, halo_cond: jax.Array):
+        """Stationary filters + discriminator across the block boundary.
+
+        cond: conditioned block [..., n]; halo_cond: the NEXT block's
+        conditioned first 2·halo_pairs reals (zeros at stream end — the
+        stationary filters see the stream as zero-padded beyond EOF).
+        Returns audio [..., n/4] with no per-block transients: output
+        sample i of any block equals the infinite-stream stationary
+        response, because every stage's zero-halo error stays confined to
+        the last ``reach`` samples of the extended buffer, beyond what the
+        next stage consumes for the first n/4 outputs."""
+        n = self.cfg.buf_size
+        assert halo_cond.shape[-1] == 2 * self.halo_pairs
+        ext = jnp.concatenate([cond, halo_cond], axis=-1)
+        pairs = ext.reshape(*ext.shape[:-1], ext.shape[-1] // 2, 2)
+        if self.dc_fir is not None:
+            pairs = self.dc_fir.stationary(pairs)
+        if self.in_fir is not None:
+            pairs = self.in_fir.stationary(pairs)
+        flat = pairs.reshape(*ext.shape)
+        if self.cfg.demod_mode() == 0:
+            return flat[..., :n]
+        d = demod_ops.fm_demod(flat, fast=self.fast_atan2)
+        audio = self.out_fir.stationary(d)
+        return audio[..., : n >> 2]
+
+    def continuous_halo(self, cond_next: jax.Array) -> jax.Array:
+        """Slice the halo continuous_post wants from the next block's
+        conditioned output: [..., n] → [..., 2·halo_pairs]."""
+        return cond_next[..., : 2 * self.halo_pairs]
+
     # -- state ----------------------------------------------------------
     def init_state(self, batch_shape=()) -> PipelineState:
         return PipelineState(

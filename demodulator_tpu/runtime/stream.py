@@ -168,10 +168,21 @@ class StreamProcessor:
         (e.g. models.wbfm.WbfmPipeline)."""
         import jax
         self.cfg = cfg
+        self._continuous = False
         if pipeline is None:
             self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
             self.block_bytes = cfg.buf_size
-            if self.pipe._use_fused() and self.pipe._use_fused_3d_ok():
+            if cfg.profile == "continuous":
+                # carry-state continuous filtering: conditioning stays
+                # per-block, the filters run stationary with a one-block
+                # lookahead halo (BlockPipeline.continuous_post)
+                self._continuous = True
+                self._cond_fn = jax.jit(self.pipe.condition_block,
+                                        donate_argnums=(0,))
+                self._post_fn = jax.jit(self.pipe.continuous_post)
+                self._halo_reals = 2 * self.pipe.halo_pairs
+                self.fn = None
+            elif self.pipe._use_fused() and self.pipe._use_fused_3d_ok():
                 # feed host-viewed uint32 shaped [1, rows, 128] (free numpy
                 # .view+.reshape): skips both the device u8→u32 relayout and
                 # the flat↔3-D tiled-layout copies; the 3-D audio's
@@ -271,6 +282,10 @@ class StreamProcessor:
                 checkpoint_path, state, cfg=ck_cfg)
             fin.seek(byte_offset)
         reader = self._make_reader(fin, tail_policy, offset=byte_offset)
+        if self._continuous:
+            return self._run_continuous(reader, fout, state, blocks,
+                                        byte_offset, checkpoint_path,
+                                        checkpoint_every, ck_cfg, metrics)
         pending: list = []
         out_dtype = self.cfg.np_dtype()
 
@@ -313,4 +328,59 @@ class StreamProcessor:
                 metrics.block_done()
         fout.flush()
         ckpt()
+        return blocks
+
+    def _run_continuous(self, reader, fout, state, blocks, byte_offset,
+                        checkpoint_path, checkpoint_every, ck_cfg, metrics):
+        """Continuous-profile streaming: condition each block on arrival,
+        filter the PREVIOUS block with the new block's conditioned head as
+        its stationary halo (zero halo at EOF).  Output sample i of block k
+        equals the infinite-stream stationary response — no per-block
+        transients.  jit dispatch is async, so conditioning block k+1
+        overlaps the device filtering of block k."""
+        import jax
+        out_dtype = self.cfg.np_dtype()
+        done = 0
+        cond_prev = None
+
+        def ckpt(n_done, st):
+            if checkpoint_path and st is not None:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, st,
+                                byte_offset=byte_offset
+                                + n_done * self.block_bytes,
+                                blocks=blocks, cfg=ck_cfg)
+
+        # resume semantics: a checkpoint at `done` blocks written holds the
+        # conditioning state after blocks 0..done-1, so the resumed run
+        # re-conditions block `done` (the previous run's halo block) itself
+        state_h = jax.tree.map(np.asarray, state) if checkpoint_path else None
+        for raw in reader:
+            # state_h currently = state after the blocks already WRITTEN
+            new_state, cond = self._cond_fn(state, raw)
+            if cond_prev is not None:
+                out = self._post_fn(cond_prev,
+                                    self.pipe.continuous_halo(cond))
+                fout.write(np.asarray(out, dtype=out_dtype).tobytes())
+                blocks += 1
+                done += 1
+                if metrics is not None:
+                    metrics.block_done()
+                if checkpoint_path and done % checkpoint_every == 0:
+                    ckpt(done, state_h)
+            cond_prev = cond
+            state = new_state
+            if checkpoint_path:
+                state_h = jax.tree.map(np.asarray, state)
+        if cond_prev is not None:
+            halo = np.zeros((*cond_prev.shape[:-1], self._halo_reals),
+                            dtype=out_dtype)
+            out = self._post_fn(cond_prev, halo)
+            fout.write(np.asarray(out, dtype=out_dtype).tobytes())
+            blocks += 1
+            done += 1
+            if metrics is not None:
+                metrics.block_done()
+        fout.flush()
+        ckpt(done, state_h)
         return blocks

