@@ -225,6 +225,10 @@ def main(argv=None) -> int:
     fout = None if extras["bank"] else (
         sys.stdout.buffer if "-" in oarg else open(oarg, "wb"))
     if extras["distributed"]:
+        if not extras["shard_time"]:
+            print("--distributed requires --shard-time N (the sharded "
+                  "streaming path)", file=sys.stderr)
+            return -1
         # must run before ANY jax backend use (incl. the compile cache)
         from .parallel.distributed import init_distributed
         init_distributed()
@@ -250,21 +254,36 @@ def main(argv=None) -> int:
                     return -1
                 raise
         if extras["shard_time"]:
-            if extras["wbfm"] or extras["checkpoint"] or extras["resume"]:
-                print("--shard-time is incompatible with --wbfm/--checkpoint"
-                      " (per-block NBFM stream only)", file=sys.stderr)
+            if extras["wbfm"]:
+                print("--shard-time is incompatible with --wbfm "
+                      "(NBFM stream only)", file=sys.stderr)
                 return -1
+            import os as _os
+            import jax
             from .runtime.stream import ShardedStreamProcessor
             cfg.num_channels = 1
             sproc = ShardedStreamProcessor(
                 cfg, n_time=int(extras["shard_time"]),
                 fast_atan2=extras["fast_atan2"])
+            if jax.process_count() > 1:
+                if "-" in iarg:
+                    print("--distributed ingest requires a file -i "
+                          "(each host reads its own block ranges)",
+                          file=sys.stderr)
+                    return -1
+                if jax.process_index() != 0:
+                    # only process 0 writes the output stream
+                    if fout is not None and fout is not sys.stdout.buffer:
+                        fout.close()
+                    fout = open(_os.devnull, "wb")
             smet = None
             if extras["metrics"]:
                 from .utils.metrics import StreamMetrics
                 smet = StreamMetrics(sproc.block_bytes,
                                      sproc.block_bytes // 2)
-            sproc.run(fin, fout, tail_policy=extras["tail"], metrics=smet)
+            sproc.run(fin, fout, tail_policy=extras["tail"], metrics=smet,
+                      checkpoint_path=extras["checkpoint"],
+                      checkpoint_every=ck_every, resume=extras["resume"])
             if smet is not None:
                 import json as _json
                 print(_json.dumps(smet.final()), file=sys.stderr)

@@ -16,6 +16,7 @@ Framing semantics (compat profile):
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import BinaryIO, Iterator, Optional
@@ -74,22 +75,99 @@ class BlockReader:
             yield item
 
 
+class ChunkReader:
+    """Background-thread CHUNK reader: yields [NB, block_size] uint8 arrays
+    read with a single readinto per chunk (no per-block stacking), plus a
+    final partial chunk of whole blocks.  Tail semantics match BlockReader:
+    a trailing partial block is dropped, or (``pad``) overlays the previous
+    block's bytes (the reference's short-read buffer reuse, src/main.c:88).
+    """
+
+    def __init__(self, f: BinaryIO, block_size: int, nb: int,
+                 depth: int = 2, tail_policy: str = "drop"):
+        self.f = f
+        self.block_size = block_size
+        self.nb = nb
+        self.tail_policy = tail_policy
+        self.q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=depth)
+        self.error: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _read_full(self, view: memoryview) -> int:
+        """readinto until the view is full or EOF; returns bytes read."""
+        got = 0
+        while got < len(view):
+            r = self.f.readinto(view[got:])
+            if r is None:
+                raise BlockingIOError("starved input stream")  # → exit -3
+            if r == 0:
+                break
+            got += r
+        return got
+
+    def _run(self):
+        bb = self.block_size
+        try:
+            prev_tail = np.zeros(bb, dtype=np.uint8)
+            while True:
+                chunk = np.empty((self.nb, bb), dtype=np.uint8)
+                got = self._read_full(memoryview(chunk).cast("B"))
+                full, part = divmod(got, bb)
+                if full == self.nb:
+                    prev_tail[:] = chunk[-1]
+                    self.q.put(chunk)
+                    continue
+                flat = chunk.reshape(-1)
+                if part and self.tail_policy == "pad":
+                    pad = (chunk[full - 1] if full else prev_tail).copy()
+                    pad[:part] = flat[full * bb: full * bb + part]
+                    self.q.put(np.concatenate([chunk[:full], pad[None]]))
+                elif full:
+                    self.q.put(chunk[:full].copy())
+                break
+        except BaseException as e:
+            self.error = e
+        finally:
+            self.q.put(None)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self.q.get()
+            if item is None:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item
+
+
 class ShardedStreamProcessor:
     """Time-sharded streaming: one long IQ stream over a device mesh.
 
     Chunks of NB = n_time · blocks_per_shard blocks are sharded over the
     mesh's ``time`` axis and processed by parallel.sharding.ShardedPipeline
     (zero communication in the compat profile, except correctIq's O(1)
-    affine-summary all_gather; ppermute FIR halos in continuous).  The
-    stream tail (fewer than NB blocks) falls back to the per-block pipeline
-    carrying the same state, so output matches unsharded streaming to fp
-    tolerance.  For multi-host runs call
-    parallel.distributed.init_distributed() first and pass a global mesh.
+    affine-summary all_gather; ppermute FIR halos in continuous, with the
+    next chunk's first block feeding the last shard's halo so chunk
+    boundaries stay continuous).  The stream tail (fewer than NB blocks)
+    falls back to the per-block pipeline carrying the same state, so output
+    matches unsharded streaming to fp tolerance.
+
+    Single-host: a background ChunkReader prefetches; device dispatch is
+    async with an ``inflight`` window, so host IO overlaps device compute
+    and the carry state never syncs to the host between chunks.
+
+    Multi-host (reference producer scaled out, src/main.c:58-98): after
+    parallel.distributed.init_distributed(), each process reads ONLY its
+    own time-block ranges of the input file (zero cross-host input
+    traffic, jax.make_array_from_process_local_data), the SPMD step runs
+    over the global mesh, and process 0 gathers + writes the output.
+    Requires a seekable file input.
     """
 
     def __init__(self, cfg: DemodConfig, n_time: int | None = None,
                  fast_atan2: bool = False, blocks_per_shard: int = 2,
-                 mesh=None):
+                 mesh=None, inflight: int = 2):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import make_demod_mesh, TIME_AXIS
@@ -100,56 +178,276 @@ class ShardedStreamProcessor:
             n_time=n_time, n_chan=1)
         n_t = self.mesh.devices.shape[0]
         self.NB = n_t * max(1, blocks_per_shard)
+        self.continuous = cfg.profile == "continuous"
         self.sp = ShardedPipeline(cfg, self.mesh, fast_atan2=fast_atan2)
         self.block_bytes = cfg.buf_size
-        self._raw_sh = NamedSharding(self.mesh, P(None, TIME_AXIS, None))
+        self.inflight = max(1, inflight)
+        self._raw_spec = P(None, TIME_AXIS, None)
+        self._raw_sh = NamedSharding(self.mesh, self._raw_spec)
         self._off_sh = NamedSharding(self.mesh, P(None, None))
+        self._rep_sh = NamedSharding(self.mesh, P(None, None))
+        self._hn_sh = NamedSharding(self.mesh, P(None))
         self._jax = jax
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            # this process's contiguous time-block range within a chunk
+            idx = self._raw_sh.addressable_devices_indices_map(
+                (1, self.NB, cfg.buf_size))
+            los = [s[1].start or 0 for s in idx.values()]
+            his = [s[1].stop if s[1].stop is not None else self.NB
+                   for s in idx.values()]
+            self._blk_lo, self._blk_hi = min(los), max(his)
 
-    def run(self, fin: BinaryIO, fout: BinaryIO,
-            tail_policy: str | None = None, metrics=None) -> int:
+    # -- helpers ----------------------------------------------------------
+    def _put_chunk(self, chunk_np: np.ndarray):
+        """[NB, n] uint8 (this process's slice in multi-host) → global
+        [1, NB, n] array sharded over time."""
+        if self.n_proc > 1:
+            from ..parallel.distributed import host_chunk
+            return host_chunk(self.mesh, chunk_np[None], self._raw_spec)
+        return self._jax.device_put(chunk_np[None], self._raw_sh)
+
+    def _put_rep(self, arr_np: np.ndarray, sharding):
+        if self.n_proc > 1:
+            from ..parallel.distributed import replicated_chunk
+            return replicated_chunk(self.mesh, arr_np, sharding.spec)
+        return self._jax.device_put(arr_np, sharding)
+
+    def _gather_audio(self, audio) -> np.ndarray:
+        if self.n_proc > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                audio, tiled=True))
+        return np.asarray(audio)
+
+    def _step(self, off_g, chunk_np: np.ndarray,
+              next_blk: np.ndarray | None):
+        raw_g = self._put_chunk(chunk_np)
+        if self.continuous:
+            nb = next_blk if next_blk is not None else np.zeros(
+                (1, self.block_bytes), dtype=np.uint8)
+            nb_g = self._put_rep(np.ascontiguousarray(nb), self._rep_sh)
+            hn = np.asarray([1.0 if next_blk is not None else 0.0],
+                            dtype=self.cfg.np_dtype())
+            hn_g = self._put_rep(hn, self._hn_sh)
+            return self.sp.step_continuous(off_g, raw_g, nb_g, hn_g)
+        return self.sp(off_g, raw_g)
+
+    def run(self, fin: BinaryIO, fout: BinaryIO | None,
+            tail_policy: str | None = None, metrics=None,
+            checkpoint_path: str | None = None,
+            checkpoint_every: int = 64, resume: bool = False) -> int:
+        """Process the stream; returns blocks emitted (globally).
+
+        ``fout`` may be None on non-writing processes (multi-host).
+        Checkpoints store the carry state + byte offset after whole chunks
+        (and after each tail block); resume seeks ``fin``.
+        """
+        import jax
+        if tail_policy is None:
+            tail_policy = "drop" if self.cfg.profile == "compat" else "pad"
+        out_dtype = self.cfg.np_dtype()
+        blocks = 0
+        byte_offset = 0
+        ck_every_chunks = max(1, int(checkpoint_every) // self.NB)
+        from ..models.nbfm import PipelineState
+        state0 = self.sp.pipe.init_state(batch_shape=(1,))
+        if resume:
+            if not checkpoint_path:
+                raise ValueError("resume requires checkpoint_path")
+            from .checkpoint import load_checkpoint
+            state0, byte_offset, blocks = load_checkpoint(
+                checkpoint_path, state0, cfg=self.cfg)
+        off_np = np.asarray(state0.iq_off, dtype=out_dtype)
+        if self.n_proc > 1:
+            return self._run_multihost(fin, fout, off_np, blocks,
+                                       byte_offset, tail_policy, metrics,
+                                       checkpoint_path, ck_every_chunks)
+        if byte_offset:
+            fin.seek(byte_offset)
+        reader = ChunkReader(fin, self.block_bytes, self.NB,
+                             tail_policy=tail_policy)
+        off_g = jax.device_put(off_np, self._off_sh)
+        done_chunks = 0
+        pending: list = []  # (audio_global, n_blocks, off_host_future)
+
+        def ckpt(n_blocks_done, off_host):
+            if checkpoint_path:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(
+                    checkpoint_path, PipelineState(iq_off=off_host),
+                    byte_offset=byte_offset
+                    + n_blocks_done * self.block_bytes,
+                    blocks=blocks, cfg=self.cfg)
+
+        def drain_one():
+            nonlocal blocks, done_chunks
+            audio, nb, off_h = pending.pop(0)
+            fout.write(np.asarray(audio, dtype=out_dtype).tobytes())
+            blocks += nb
+            done_chunks += 1
+            if metrics is not None:
+                for _ in range(nb):
+                    metrics.block_done()
+            if checkpoint_path and done_chunks % ck_every_chunks == 0:
+                ckpt(done_chunks * self.NB, np.asarray(off_h))
+
+        cur: np.ndarray | None = None
+        tail_blocks: np.ndarray | None = None
+        for nxt in reader:
+            if len(nxt) < self.NB:
+                tail_blocks = nxt
+                break
+            if cur is not None:
+                off_g, audio = self._step(off_g, cur, nxt[:1])
+                pending.append((audio, self.NB, off_g))
+                if len(pending) >= self.inflight:
+                    drain_one()
+            cur = nxt
+        if cur is not None:
+            first_tail = tail_blocks[:1] if tail_blocks is not None else None
+            off_g, audio = self._step(off_g, cur, first_tail)
+            pending.append((audio, self.NB, off_g))
+        while pending:
+            drain_one()
+        n_done = done_chunks * self.NB
+        if tail_blocks is not None:
+            n_done, blocks = self._run_tail(
+                tail_blocks, np.asarray(off_g), fout, out_dtype, n_done,
+                blocks, metrics, ckpt)
+        elif checkpoint_path:
+            ckpt(n_done, np.asarray(off_g))
+        if fout is not None:
+            fout.flush()
+        return blocks
+
+    def _run_tail(self, tail_blocks, off_np, fout, out_dtype, n_done,
+                  blocks, metrics, ckpt):
+        """Per-block fallback for the last <NB blocks, carrying the chunk
+        state (continuous: stationary filters with pairwise lookahead)."""
         import jax
         import jax.numpy as jnp
         from ..models.nbfm import PipelineState
-        if tail_policy is None:
-            tail_policy = "drop" if self.cfg.profile == "compat" else "pad"
-        reader = BlockReader(fin, self.block_bytes, tail_policy=tail_policy)
-        out_dtype = self.cfg.np_dtype()
-        off = np.zeros((1, 2), dtype=out_dtype)
-        blocks = 0
-        buf: list[np.ndarray] = []
-
-        def flush_chunk():
-            nonlocal off, blocks
-            raw = np.stack(buf, axis=0)[None]          # [1, NB, n]
-            raw_g = jax.device_put(raw, self._raw_sh)
-            off_g = jax.device_put(off, self._off_sh)
-            new_off, audio = self.sp(off_g, raw_g)
-            fout.write(np.asarray(audio, dtype=out_dtype).tobytes())
-            off = np.asarray(new_off)
-            blocks += len(buf)
-            if metrics is not None:
-                for _ in buf:
-                    metrics.block_done()
-            buf.clear()
-
-        for raw in reader:
-            buf.append(raw)
-            if len(buf) == self.NB:
-                flush_chunk()
-        if buf:
-            # tail: per-block pipeline with the carried state (avoids a
-            # second sharded compile for every possible remainder length)
-            pipe = self.sp.pipe
-            st = PipelineState(iq_off=jnp.asarray(off))
+        pipe = self.sp.pipe
+        st = PipelineState(iq_off=jnp.asarray(off_np))
+        nt = len(tail_blocks)
+        if not self.continuous:
             fn = jax.jit(pipe.__call__)
-            for blk in buf:
+            for blk in tail_blocks:
                 st, out = fn(st, blk[None])
                 fout.write(np.asarray(out, dtype=out_dtype).tobytes())
                 blocks += 1
+                n_done += 1
                 if metrics is not None:
                     metrics.block_done()
-        fout.flush()
+                ckpt(n_done, np.asarray(st.iq_off))
+            return n_done, blocks
+        cond_fn = jax.jit(pipe.condition_block)
+        post_fn = jax.jit(pipe.continuous_post)
+        conds, states = [], []
+        for blk in tail_blocks:
+            st, cond = cond_fn(st, blk[None])
+            conds.append(cond)
+            states.append(st)   # state after conditioning blocks ..k
+        zero_halo = np.zeros((1, 2 * pipe.halo_pairs), dtype=out_dtype)
+        for k, cond in enumerate(conds):
+            halo = (pipe.continuous_halo(conds[k + 1]) if k + 1 < nt
+                    else zero_halo)
+            out = post_fn(cond, halo)
+            fout.write(np.asarray(out, dtype=out_dtype).tobytes())
+            blocks += 1
+            n_done += 1
+            if metrics is not None:
+                metrics.block_done()
+            # resume re-conditions from block k+1 → state after blocks ..k
+            ckpt(n_done, np.asarray(states[k].iq_off))
+        return n_done, blocks
+
+    def _run_multihost(self, fin, fout, off_np, blocks, byte_offset,
+                       tail_policy, metrics, checkpoint_path,
+                       ck_every_chunks):
+        """Every process reads only its own block ranges; process 0 writes.
+
+        The chunk schedule is derived from the file size so all processes
+        agree on the collective sequence without coordination."""
+        import jax
+        from ..models.nbfm import PipelineState
+        out_dtype = self.cfg.np_dtype()
+        bb = self.block_bytes
+        fd = fin.fileno()
+        total_bytes = os.fstat(fd).st_size
+        avail = max(0, total_bytes - byte_offset)
+        n_blocks_total = avail // bb
+        n_chunks = n_blocks_total // self.NB
+        tail_n = n_blocks_total - n_chunks * self.NB
+
+        def read_blocks(block_idx: int, count: int) -> np.ndarray:
+            buf = np.empty((count, bb), dtype=np.uint8)
+            view = memoryview(buf).cast("B")
+            pos = byte_offset + block_idx * bb
+            need = count * bb
+            got = 0
+            while got < need:
+                r = os.pread(fd, need - got, pos + got)
+                if not r:
+                    raise IOError("short read in multihost ingest")
+                view[got: got + len(r)] = r
+                got += len(r)
+            return buf
+
+        off_g = self._put_rep(off_np, self._off_sh)
+        writer = fout if jax.process_index() == 0 else None
+        done_chunks = 0
+
+        def ckpt(n_blocks_done, off_host):
+            if checkpoint_path and jax.process_index() == 0:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(
+                    checkpoint_path, PipelineState(iq_off=off_host),
+                    byte_offset=byte_offset + n_blocks_done * bb,
+                    blocks=blocks, cfg=self.cfg)
+
+        for c in range(n_chunks):
+            local = read_blocks(c * self.NB + self._blk_lo,
+                                self._blk_hi - self._blk_lo)
+            nxt_idx = (c + 1) * self.NB
+            next_blk = (read_blocks(nxt_idx, 1)
+                        if self.continuous and nxt_idx < n_blocks_total
+                        else None)
+            off_g, audio = self._step(off_g, local, next_blk)
+            audio_h = self._gather_audio(audio)
+            if writer is not None:
+                writer.write(np.asarray(audio_h, dtype=out_dtype).tobytes())
+            blocks += self.NB
+            done_chunks += 1
+            if metrics is not None and writer is not None:
+                for _ in range(self.NB):
+                    metrics.block_done()
+            if done_chunks % ck_every_chunks == 0:
+                ckpt(done_chunks * self.NB, np.asarray(off_g))
+        n_done = done_chunks * self.NB
+        part = avail - n_blocks_total * bb
+        n_tail = tail_n + (1 if tail_policy == "pad" and part else 0)
+        if n_tail and writer is not None:
+            tail = (read_blocks(n_chunks * self.NB, tail_n) if tail_n
+                    else np.empty((0, bb), dtype=np.uint8))
+            if n_tail > tail_n:  # pad: overlay partial bytes on prev block
+                prev = (tail[-1] if tail_n
+                        else read_blocks(n_blocks_total - 1, 1)[0]
+                        if n_blocks_total else np.zeros(bb, np.uint8))
+                pad = prev.copy()
+                extra = os.pread(fd, part, byte_offset + n_blocks_total * bb)
+                pad[: len(extra)] = np.frombuffer(extra, np.uint8)
+                tail = np.concatenate([tail, pad[None]])
+            n_done, blocks = self._run_tail(tail, np.asarray(off_g), writer,
+                                            out_dtype, n_done, blocks,
+                                            metrics, ckpt)
+        elif n_tail:
+            blocks += n_tail  # counted globally; only p0 processes/writes
+        elif checkpoint_path:
+            ckpt(n_done, np.asarray(off_g))
+        if writer is not None:
+            writer.flush()
         return blocks
 
 

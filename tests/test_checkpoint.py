@@ -104,6 +104,50 @@ def test_resume_wbfm_state(tmp_path):
     assert out_a.getvalue() + out_b.getvalue() == out_full.getvalue()
 
 
+def test_cli_checkpoint_shard_time(tmp_path):
+    """--checkpoint + --shard-time (previously refused): interrupt after
+    one full chunk, resume — joined output equals the uninterrupted run,
+    including the correctIq carry into the sub-chunk tail."""
+    import shutil
+    import tempfile
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(__file__))
+    tmp = __import__("pathlib").Path(tempfile.mkdtemp(prefix="cksh",
+                                                      dir="/tmp"))
+    try:
+        data = _data(11, seed=5)          # NB=8 chunk + 3-block tail
+        src = tmp / "iq.dat"
+        src.write_bytes(data)
+        ck = tmp / "ck.npz"
+        base = [sys.executable, "-m", "demodulator_tpu",
+                "-S", "192000", "-l", "12500", "-b", "-6", "-q", "1",
+                "--shard-time", "4"]
+        full = tmp / "full.raw"
+        r = subprocess.run(base + ["-i", str(src), "-o", str(full)],
+                           capture_output=True, env=env, cwd=repo)
+        assert r.returncode == 0, r.stderr.decode()
+
+        half = tmp / "half.dat"
+        half.write_bytes(data[: 8 * BUF])  # exactly one chunk
+        a = tmp / "a.raw"
+        r = subprocess.run(base + ["-i", str(half), "-o", str(a),
+                                   "--checkpoint", str(ck),
+                                   "--checkpoint-every", "1"],
+                           capture_output=True, env=env, cwd=repo)
+        assert r.returncode == 0, r.stderr.decode()
+        b = tmp / "b.raw"
+        r = subprocess.run(base + ["-i", str(src), "-o", str(b),
+                                   "--checkpoint", str(ck), "--resume"],
+                           capture_output=True, env=env, cwd=repo)
+        assert r.returncode == 0, r.stderr.decode()
+        assert a.read_bytes() + b.read_bytes() == full.read_bytes()
+        assert len(a.read_bytes()) == 8 * BUF
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_cli_checkpoint_flags(tmp_path):
     """--checkpoint/--resume through the real CLI.  NOTE: paths must not
     contain '-' — the CLI faithfully reproduces the reference's strstr

@@ -113,6 +113,31 @@ def test_cli_profile_continuous(stream_bytes):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("extra", [{}, {"q": "1"}, {"q": "2"},
+                                   {"L": "12500"}])
+def test_sharded_continuous_streaming_matches_unsharded(extra):
+    """ShardedStreamProcessor in the continuous profile: chunk boundaries
+    carry the next chunk's data (cross-chunk halo via the replicated
+    next-block input), and the tail fallback stays continuous — output
+    equals the unsharded continuous stream."""
+    from demodulator_tpu.runtime.stream import ShardedStreamProcessor
+    rng = np.random.default_rng(33)
+    data = rng.integers(0, 256, size=19 * BLK, dtype=np.uint8).tobytes()
+    opts = {**BASE, **extra}
+    want = _stream_continuous(opts, data)
+
+    cfg = config_from_cli_opts(opts)
+    cfg.profile = "continuous"
+    mesh = make_demod_mesh(4, 1, devices=np.array(jax.devices()[:4]))
+    sproc = ShardedStreamProcessor(cfg, mesh=mesh)  # NB=8: 2 chunks + tail 3
+    out = io.BytesIO()
+    sproc.run(io.BytesIO(data), out)
+    got = np.frombuffer(out.getvalue(), dtype=np.float32)
+    assert got.shape == want.shape
+    atol = 2e-4 if extra.get("q") == "1" else 2e-6
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
+
+
 class _FailingSink:
     """Raises after n successful writes — simulates a mid-capture kill."""
 

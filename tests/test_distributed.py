@@ -87,6 +87,64 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.parametrize("profile_args", [[], ["--profile", "continuous"]])
+def test_two_process_cli_shard_time(tmp_path, profile_args):
+    """End-to-end multi-host CLI ingest (VERDICT missing #2): two processes
+    × two virtual devices, --distributed --shard-time 4.  Each process
+    reads only its own block ranges of the input file; process 0's output
+    must be byte-identical to the single-process run."""
+    import numpy as np
+    import pathlib
+    import shutil
+    import tempfile
+    port = _free_port()
+    rng = np.random.default_rng(17)
+    data = rng.integers(0, 256, 11 * 4096, dtype=np.uint8).tobytes()
+    # paths must not contain '-' (the CLI reproduces the reference's strstr
+    # stdin/stdout quirk); pytest tmp dirs do
+    tmp_path = pathlib.Path(tempfile.mkdtemp(prefix="distcli", dir="/tmp"))
+    src = tmp_path / "iq.dat"
+    src.write_bytes(data)
+    args = ["-S", "192000", "-l", "12500", "-b", "-6", "-q", "1",
+            "--shard-time", "4", *profile_args]
+
+    env1 = {k: v for k, v in os.environ.items()
+            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env1.update(JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env1.pop("PALLAS_AXON_POOL_IPS", None)
+    single = tmp_path / "single.raw"
+    r = subprocess.run([sys.executable, "-m", "demodulator_tpu",
+                        "-i", str(src), "-o", str(single), *args],
+                       capture_output=True, env=env1, cwd=REPO)
+    assert r.returncode == 0, r.stderr.decode()
+
+    procs = []
+    outs = [tmp_path / f"dist{p}.raw" for p in (0, 1)]
+    for p in (0, 1):
+        env = dict(env1)
+        env.update(XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                   DEMODULATOR_TPU_COORDINATOR=f"localhost:{port}",
+                   DEMODULATOR_TPU_NUM_PROCESSES="2",
+                   DEMODULATOR_TPU_PROCESS_ID=str(p))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "demodulator_tpu", "-i", str(src),
+             "-o", str(outs[p]), "--distributed", *args],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE))
+    for p, proc in enumerate(procs):
+        try:
+            _, err = proc.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed CLI worker timed out")
+        assert proc.returncode == 0, f"worker {p}:\n{err.decode()[-3000:]}"
+    assert outs[0].read_bytes() == single.read_bytes()
+    assert outs[1].read_bytes() == b""  # non-zero processes write nothing
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
 def test_two_process_global_mesh(tmp_path):
     port = _free_port()
     script = tmp_path / "worker.py"
