@@ -313,6 +313,16 @@ def main(argv=None) -> int:
         if extras["metrics"]:
             import json as _json
             print(_json.dumps(run_kw["metrics"].final()), file=sys.stderr)
+    except BlockingIOError as e:
+        # reference exitFlag -3: zero read with neither EOF nor error
+        # (src/main.c:84-85)
+        print(f"input starved: {e}", file=sys.stderr)
+        return -3
+    except OSError as e:
+        # reference exitFlag -2: ferror on the input stream
+        # (src/main.c:78-83); the native reader surfaces the same code
+        print(f"stream error: {e}", file=sys.stderr)
+        return -2
     finally:
         if trace_ctx:
             import jax

@@ -49,6 +49,11 @@ class BlockReader:
             prev = np.zeros(self.block_size, dtype=np.uint8)
             while True:
                 data = self.f.read(self.block_size)
+                if data is None:
+                    # non-blocking source with nothing to give: the
+                    # reference's "zero read, no EOF, no error" starvation
+                    # (exitFlag -3, src/main.c:84-85)
+                    raise BlockingIOError("starved input stream")
                 if not data:
                     break
                 buf = np.frombuffer(data, dtype=np.uint8)
@@ -527,8 +532,9 @@ class StreamProcessor:
                      offset: int = 0):
         """Prefer the native C++ ring-buffer reader (runtime/native) when the
         input is a real file or stdin; any other BinaryIO uses the Python
-        reader.  Both yield identical full uint8 blocks."""
-        if self.use_native:
+        reader.  Both yield identical full uint8 blocks.
+        DEMODULATOR_TPU_NO_NATIVE=1 forces the Python reader."""
+        if self.use_native and not os.environ.get("DEMODULATOR_TPU_NO_NATIVE"):
             import sys
             path = None
             if fin is sys.stdin.buffer:
@@ -536,7 +542,6 @@ class StreamProcessor:
             else:
                 name = getattr(fin, "name", None)
                 if isinstance(name, str) and name not in ("<stdin>",):
-                    import os
                     if os.path.exists(name):
                         path = name
             if path is not None and not (path == "-" and offset):

@@ -59,6 +59,27 @@ def test_send_command_wire_format():
     b.close()
 
 
+def test_extended_command_set_wire_format():
+    """The extended rtl_tcp commands (0x40-0x56; reference rtltcp.py:32-63)
+    are sendable with the same one-byte + uint32-BE framing."""
+    expect = {"tuner_bandwidth": 0x40, "udp_establish": 0x41,
+              "udp_terminate": 0x42, "i2c_tuner_register": 0x43,
+              "i2c_tuner_override": 0x44, "tuner_bw_if_center": 0x45,
+              "tuner_if_mode": 0x46, "sideband": 0x47,
+              "report_i2c_regs": 0x48, "gpio_set_output_mode": 0x49,
+              "gpio_set_input_mode": 0x50, "gpio_get_io_status": 0x51,
+              "gpio_write_pin": 0x52, "gpio_read_pin": 0x53,
+              "gpio_get_byte": 0x54, "is_tuner_pll_locked": 0x55,
+              "freq_hi32": 0x56}
+    a, b = socket.socketpair()
+    for name, code in expect.items():
+        assert rtltcp.COMMANDS[name] == code
+        rtltcp.send_command(a, name, 1 << 20)
+        assert b.recv(5) == struct.pack(">BI", code, 1 << 20)
+    a.close()
+    b.close()
+
+
 def test_fanout_two_clients_get_full_stream():
     rng = np.random.default_rng(0)
     payload = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()

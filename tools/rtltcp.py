@@ -41,6 +41,25 @@ COMMANDS = {
     "tuner_xtal": 0x0c,
     "tuner_gain_by_index": 0x0d,
     "bias_tee": 0x0e,
+    # extended set (rtl_tcp forks / librtlsdr extras; the reference's enum
+    # carries the same values, rtltcp.py:32-63)
+    "tuner_bandwidth": 0x40,
+    "udp_establish": 0x41,
+    "udp_terminate": 0x42,
+    "i2c_tuner_register": 0x43,
+    "i2c_tuner_override": 0x44,
+    "tuner_bw_if_center": 0x45,
+    "tuner_if_mode": 0x46,
+    "sideband": 0x47,
+    "report_i2c_regs": 0x48,
+    "gpio_set_output_mode": 0x49,
+    "gpio_set_input_mode": 0x50,
+    "gpio_get_io_status": 0x51,
+    "gpio_write_pin": 0x52,
+    "gpio_read_pin": 0x53,
+    "gpio_get_byte": 0x54,
+    "is_tuner_pll_locked": 0x55,
+    "freq_hi32": 0x56,
 }
 
 
