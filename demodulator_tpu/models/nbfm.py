@@ -86,12 +86,12 @@ class BlockPipeline:
 
         # fused Pallas kernel eligibility (flagship path: no input filter,
         # stateless elementwise conditioning, lane-aligned block size, f32).
-        # The kernel's discriminator is the polynomial atan2, so the fused
-        # path only substitutes for the XLA path when the user asked for
-        # fast_atan2 — exact-atan2 configs keep the XLA graph.
+        # The kernel's polynomial discriminator matches jnp.arctan2 to
+        # ~1 ULP (ops/pallas/fused_nbfm.py), so the fused path is the
+        # DEFAULT on TPU; fast_atan2 only switches its division to the
+        # hardware-reciprocal estimate (~20% faster, ~2e-6 rad).
         self.fused_eligible = (
-            fast_atan2
-            and cfg.demod_mode() != 0
+            cfg.demod_mode() != 0
             and self.in_fir is None
             and cfg.conditioning_kind() in (0, 3)
             and (cfg.buf_size // 4) % 128 == 0
@@ -122,7 +122,8 @@ class BlockPipeline:
         kind = cfg.conditioning_kind()
         name = "normalize" if kind == 3 else "shift"
         taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
-        audio = fused_nbfm_u32(u32, taps, name, interpret=interpret)
+        audio = fused_nbfm_u32(u32, taps, name, interpret=interpret,
+                               precise=not self.fast_atan2)
         # f64 head patch: demod of the first Wh samples (1 u32 word each);
         # .at.set over H columns aliases in place — no full-output copy
         W = self.out_fir.Wh
@@ -130,7 +131,7 @@ class BlockPipeline:
             u32[:, :W], jnp.uint8).reshape(-1, 4 * W)
         xh = (cond_ops.normalize_input(head_bytes, self.dtype) if kind == 3
               else cond_ops.shift_origin(head_bytes, self.dtype))
-        dh = demod_ops.fm_demod(xh, fast=True)  # eligibility implies fast_atan2
+        dh = demod_ops.fm_demod(xh, fast=self.fast_atan2)
         head = self.out_fir.head_only(dh)
         audio = audio.at[:, : self.out_fir.H].set(head)
         return state, audio
@@ -153,7 +154,8 @@ class BlockPipeline:
         kind = cfg.conditioning_kind()
         name = "normalize" if kind == 3 else "shift"
         taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
-        audio = fused_nbfm_u32_3d(u32, taps, name, interpret=interpret)
+        audio = fused_nbfm_u32_3d(u32, taps, name, interpret=interpret,
+                                  precise=not self.fast_atan2)
         # f64 head patch confined to row 0 (Wh inputs → H outputs, both
         # ≤ 128 by _use_fused_3d_ok); .at.set aliases in place
         W, H = self.out_fir.Wh, self.out_fir.H
@@ -161,7 +163,7 @@ class BlockPipeline:
             u32[:, 0, :W], jnp.uint8).reshape(-1, 4 * W)
         xh = (cond_ops.normalize_input(head_bytes, self.dtype) if kind == 3
               else cond_ops.shift_origin(head_bytes, self.dtype))
-        dh = demod_ops.fm_demod(xh, fast=True)  # eligibility implies fast
+        dh = demod_ops.fm_demod(xh, fast=self.fast_atan2)
         head = self.out_fir.head_only(dh)
         audio = audio.at[:, 0, :H].set(head)
         return state, audio
@@ -201,7 +203,7 @@ class BlockPipeline:
         XLA.  -q2's conditioning is shiftOrigin (src/matrix.c:151), so its
         kernel differs from -L's only in which SOS the taps came from."""
         stage = self._fused_cplx_stage()
-        if (not self.fast_atan2 or self.cfg.demod_mode() == 0
+        if (self.cfg.demod_mode() == 0
                 or stage is None
                 or self.cfg.conditioning_kind() not in (0, 2, 3)
                 or (self.cfg.buf_size // 4) % 128 != 0
@@ -230,7 +232,8 @@ class BlockPipeline:
         ctaps = tuple(float(t) for t in np.asarray(inf.taps))
         ci = tuple(float(v) for v in np.asarray(inf.c_int))
         audio = fused_nbfm_inlpf_u32_3d(u32, ctaps, ci, taps, name,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        precise=not self.fast_atan2)
 
         n_pairs, w1_words, hy, wt_words = self._inlpf_geometry()
         B = u32.shape[0]
@@ -238,7 +241,8 @@ class BlockPipeline:
             u32[:, 0, :w1_words], jnp.uint8).reshape(B, 4 * w1_words)
         head_pairs = cond(head_bytes, self.dtype).reshape(B, -1, 2)
         filt = inf.pairs_head(head_pairs, n_pairs)       # [B, n_pairs, 2]
-        d_head = demod_ops.fm_demod(filt.reshape(B, -1), fast=True)
+        d_head = demod_ops.fm_demod(filt.reshape(B, -1),
+                                    fast=self.fast_atan2)
         head = outf.head_only(d_head[..., : outf.Wh])
         audio = audio.at[:, 0, : outf.H].set(head)
         if hy:

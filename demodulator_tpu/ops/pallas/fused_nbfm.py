@@ -13,11 +13,14 @@ no strided deinterleave.  Bytes unpack with shifts (little-endian:
 a = u & 255 is the first I sample).
 
 The kernel is VPU compute-bound (~65 ops/sample vs a ~200 µs DMA floor per
-64 MiB on v5e), so the atan2's division — the one multi-cycle op — uses the
-hardware reciprocal estimate plus one Newton step (max error ~2e-6 rad on
-the audio, vs a ≥60 dB acceptance bar and ~130 dB measured): 383 → ~315 µs
-per 64 MiB measured on v5e.  In interpret mode (CPU tests) pl.reciprocal
-is exact, so CPU numerics match the exact-division kernel bit-for-bit.
+64 MiB on v5e).  The discriminator's polynomial atan2 matches jnp.arctan2
+to ~1 ULP (≤2.4e-7 rad measured over the int8 conj-product domain), so the
+kernel is the DEFAULT path; the one tunable is the division: exact by
+default, or (--fast-atan2) the hardware reciprocal estimate plus one
+Newton step (max error ~2e-6 rad on the audio, vs a ≥60 dB acceptance bar
+and ~130 dB measured): 383 → ~315 µs per 64 MiB measured on v5e.  In
+interpret mode (CPU tests) pl.reciprocal is exact, so CPU numerics match
+the exact-division kernel bit-for-bit.
 
 The dense f64 head-row correction (first 2·sosLen samples per block) runs
 outside the kernel in XLA; the kernel computes stationary rows everywhere
@@ -38,20 +41,28 @@ from ..demod import _ATAN_COEFFS
 LANES = 128
 
 
-def _atan2_fast_recip(y: jax.Array, x: jax.Array) -> jax.Array:
-    """ops.demod.atan2_fast with the division replaced by the TPU
-    reciprocal estimate + one Newton step (Pallas-only: pl.reciprocal).
-    Same octant reduction and signbit quadrant fixups — see
-    ops.demod.atan2_fast for the C99 atan2f corner-case notes."""
+def _atan2_fast_recip(y: jax.Array, x: jax.Array,
+                      precise: bool = True) -> jax.Array:
+    """ops.demod.atan2_fast inside the kernel.  ``precise`` (the default)
+    divides exactly, matching jnp.arctan2 to ~1 ULP (measured ≤2.4e-7 rad)
+    — accurate enough to be the default-flag discriminator.  ``precise=
+    False`` (--fast-atan2) swaps the division for the TPU hardware
+    reciprocal estimate + one Newton step (Pallas-only: pl.reciprocal),
+    ~20% faster at ~2e-6 rad max error.  Same octant reduction and signbit
+    quadrant fixups — see ops.demod.atan2_fast for the C99 atan2f
+    corner-case notes."""
     f32 = jnp.float32
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
     hi_safe = jnp.where(hi == 0, f32(1.0), hi)
-    r = pl.reciprocal(hi_safe, approx=True)
-    r = r * (f32(2.0) - hi_safe * r)  # one Newton step: ~1e-7 rel error
-    z = lo * r
+    if precise:
+        z = lo / hi_safe
+    else:
+        r = pl.reciprocal(hi_safe, approx=True)
+        r = r * (f32(2.0) - hi_safe * r)  # one Newton step: ~1e-7 rel error
+        z = lo * r
     z2 = z * z
     p = f32(_ATAN_COEFFS[-1])
     for c in _ATAN_COEFFS[-2::-1]:
@@ -121,7 +132,7 @@ def _cplx_fir_lanes(a, b, c, d, cplx_taps, c_int, rows):
 
 
 def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
-            cplx_taps=None, c_int=None):
+            cplx_taps=None, c_int=None, precise=True):
     """One grid step = ``blk`` IQ blocks (independent; leading dim).
 
     u32_ref: [blk, rows, 128] uint32 (4 raw bytes each) — rows*128 demod
@@ -157,7 +168,7 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
 
     zr = a * c + b * d
     zj = b * c - a * d
-    x = _atan2_fast_recip(zj, zr)                # [blk, rows, 128] demod
+    x = _atan2_fast_recip(zj, zr, precise)       # [blk, rows, 128] demod
     x = jnp.where(jnp.isnan(x), jnp.float32(0.0), x)  # NaN clamp (matrix.c:174)
 
     # stationary anti-causal FIR: y[q] = Σ_d taps[d]·x[q+d] in row-major
@@ -185,10 +196,11 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "conditioning",
-                                             "interpret"))
+                                             "interpret", "precise"))
 def fused_nbfm_u32_3d(u32: jax.Array, taps: tuple,
                       conditioning: str = "shift",
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      precise: bool = True) -> jax.Array:
     """u32: uint32 [B, rows, 128] → audio [B, rows, 128] float32.
 
     The zero-copy entry: the [B, rows, 128] shape must come straight from
@@ -210,7 +222,7 @@ def fused_nbfm_u32_3d(u32: jax.Array, taps: tuple,
     zero = np.int32(0)
     return pl.pallas_call(
         functools.partial(_kernel, taps=taps, conditioning=conditioning,
-                          rows=rows),
+                          rows=rows, precise=precise),
         grid=(B // blk,),
         in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
                                memory_space=pltpu.VMEM)],
@@ -222,10 +234,12 @@ def fused_nbfm_u32_3d(u32: jax.Array, taps: tuple,
 
 
 @functools.partial(jax.jit, static_argnames=("cplx_taps", "c_int", "taps",
-                                             "conditioning", "interpret"))
+                                             "conditioning", "interpret",
+                                             "precise"))
 def fused_nbfm_inlpf_u32_3d(u32: jax.Array, cplx_taps: tuple, c_int: tuple,
                             taps: tuple, conditioning: str = "shift",
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            precise: bool = True) -> jax.Array:
     """fused_nbfm_u32_3d with the input lowpass (-L) stage fused in:
     conditioning → complex stationary FIR (+ affine constants) →
     discriminator → audio FIR, one VMEM pass.  The caller must overwrite
@@ -238,7 +252,8 @@ def fused_nbfm_inlpf_u32_3d(u32: jax.Array, cplx_taps: tuple, c_int: tuple,
     zero = np.int32(0)
     return pl.pallas_call(
         functools.partial(_kernel, taps=taps, conditioning=conditioning,
-                          rows=rows, cplx_taps=cplx_taps, c_int=c_int),
+                          rows=rows, cplx_taps=cplx_taps, c_int=c_int,
+                          precise=precise),
         grid=(B // blk,),
         in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
                                memory_space=pltpu.VMEM)],
@@ -250,7 +265,8 @@ def fused_nbfm_inlpf_u32_3d(u32: jax.Array, cplx_taps: tuple, c_int: tuple,
 
 
 def fused_nbfm_u32(u32: jax.Array, taps: tuple, conditioning: str = "shift",
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   precise: bool = True) -> jax.Array:
     """u32: uint32 [B, samples] (the raw little-endian bytes viewed 4-at-a-
     time; samples % 128 == 0) → audio [B, samples] float32.
 
@@ -264,7 +280,7 @@ def fused_nbfm_u32(u32: jax.Array, taps: tuple, conditioning: str = "shift",
     rows = samples // LANES
     assert samples % LANES == 0, samples
     out = fused_nbfm_u32_3d(u32.reshape(B, rows, LANES), taps, conditioning,
-                            interpret)
+                            interpret, precise)
     return out.reshape(B, samples)
 
 

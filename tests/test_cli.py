@@ -135,5 +135,6 @@ def test_cli_shard_time(iq_data):
     assert len(a) == len(b) == 11 * 1024
     # the affine-prefix reconstruction of the correctIq chain differs from
     # the sequential one by f32 rounding; atan2 near zero-magnitude samples
-    # amplifies that slightly (block-exactness is covered in test_sharding)
-    np.testing.assert_allclose(b, a, rtol=0, atol=1e-3)
+    # amplifies that slightly (block-exactness is covered in test_sharding).
+    # Quantified as SNR so drift is caught: measured ~120.6 dB on this fixture.
+    assert snr_db(a, b) > 110.0
