@@ -1,8 +1,16 @@
 """Throughput benchmark: flagship NBFM demod chain, single chip.
 
-Prints ONE JSON line: IQ complex Msamples/s through the full per-block
-pipeline (uint8 conditioning → quadrature discriminator → audio FIR) on
-device-resident data, fused Pallas path when on TPU.
+Default invocation prints ONE JSON line (the driver contract): IQ complex
+Msamples/s through the full per-block pipeline (uint8 conditioning →
+quadrature discriminator → audio FIR) on device-resident data, fused
+Pallas path when on TPU.
+
+``--matrix`` additionally benchmarks every hot configuration — q0-q3, the
+fused -L / -q2 chains, float64, WBFM, the channel bank, and the sharded
+step — printing one JSON line per config (with a roofline note: achieved
+fraction of the minimum-HBM-traffic floor) and writing BENCH_MATRIX.json.
+The reference's analog is the test.sh config×compiler timing matrix
+(/root/reference/test.sh:94-125).
 
 Methodology (validated against jax.profiler device traces): host-side
 timing of individual dispatches is unreliable through the remote-TPU
@@ -10,84 +18,320 @@ tunnel (dispatch is async, block_until_ready returns early, and each
 dispatch round-trip costs ~10 ms), so the step runs N times inside ONE
 on-device lax.fori_loop.  The loop carries a true data dependency without
 any buffer copies by feeding each iteration's audio output back as the
-next iteration's raw input via a free bitcast (f32 → u32): a one-element
-"poke" of the input buffer — the obvious alternative — is NOT aliased in
-place by XLA and silently copies the whole 64 MiB batch every iteration
-(~1.5 ms, 4x the step itself).  Two loop lengths cancel the fixed
-dispatch latency.  vs_baseline is the ratio to the reference's
+next iteration's raw input via a free bitcast (f32 → u32); stateful
+pipelines (WBFM, bank) instead chain their carry state, with the input
+dynamic-sliced by the loop index so XLA cannot hoist the computation.
+A one-element "poke" of the input buffer — the obvious alternative — is
+NOT aliased in place by XLA and silently copies the whole 64 MiB batch
+every iteration (~1.5 ms, 4x the step itself).  Two loop lengths cancel
+the fixed dispatch latency.  vs_baseline is the ratio to the reference's
 demonstrated real-time rate (192 ksps complex sustained through its
 decode pipelines — the only performance fact it exhibits; BASELINE.md).
 """
+import argparse
 import json
 import time
 
 import numpy as np
 
+# v5e/v5-lite HBM bandwidth (public spec ~819 GB/s): the minimum-traffic
+# roofline for a chain that reads the raw bytes once and writes the audio
+# once.  Reported as a *note*; the floor uses each config's actual
+# minimum in+out bytes.
+HBM_BYTES_PER_S = 819e9
 
-def main():
+
+def _timed_loop(body, carry0, n_lo=10, n_hi=70, reps=4):
+    """Seconds per body() application, measured as the slope between two
+    on-device fori_loop lengths (min over repeats: tunnel noise is
+    additive and positive)."""
     import jax
     import jax.numpy as jnp
-    from demodulator_tpu.config import DemodConfig
-    from demodulator_tpu.models.nbfm import BlockPipeline
-
-    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0)
-    pipe = BlockPipeline(cfg, fast_atan2=True, backend="auto")
-
-    B = 256   # blocks per step: 64 MiB uint8 in, 64 MiB float32 out
-    rows = (cfg.buf_size // 4) // 128
-    rng = np.random.default_rng(0)
-    raw_np = rng.integers(0, 256, size=(B, cfg.buf_size), dtype=np.uint8)
-    state = pipe.init_state()
-    if pipe._use_fused() and pipe._use_fused_3d_ok():
-        # host-side view+reshape (free) — the device never repacks u8→u32
-        # and never pays the flat↔3-D tiled-layout copy
-        raw = jax.device_put(raw_np.view(np.uint32).reshape(B, rows, 128))
-        step = lambda r: pipe.fused_call_u32_3d(state, r)[1]
-        reinterpret = lambda audio: jax.lax.bitcast_convert_type(
-            audio, jnp.uint32)
-    else:
-        raw = jax.device_put(raw_np)
-        step = lambda r: pipe(state, r)[1]
-
-        def reinterpret(audio):
-            # audio is [B, n/4] f32 → raw [B, n] u8 for the next iteration
-            u8x4 = jax.lax.bitcast_convert_type(audio, jnp.uint8)
-            return u8x4.reshape(B, cfg.buf_size)
-
     fns = {}
 
     def timed(N):
         if N not in fns:
             @jax.jit
-            def bench(x):
-                def body(i, x):
-                    return reinterpret(step(x))
-                x = jax.lax.fori_loop(0, N, body, x)
-                return x.reshape(-1)[0].astype(jnp.float32)
-            float(bench(raw))  # compile + warmup
+            def bench(c):
+                c = jax.lax.fori_loop(0, N, body, c)
+                leaf = jax.tree.leaves(c)[0]
+                return leaf.reshape(-1)[0].astype(jnp.float32)
+            float(bench(carry0))  # compile + warmup
             fns[N] = bench
         t0 = time.perf_counter()
-        float(fns[N](raw))
+        float(fns[N](carry0))
         return time.perf_counter() - t0
 
-    # tunnel noise is additive and positive (host hiccups), so take the
-    # MIN over repeats per loop length before differencing; the slope
-    # cancels the fixed dispatch latency
-    n_lo, n_hi = 10, 70
-    reps = 4
     t_lo = min(timed(n_lo) for _ in range(reps))
     t_hi = min(timed(n_hi) for _ in range(reps))
     dt = (t_hi - t_lo) / (n_hi - n_lo)
     if dt <= 0:  # pathological hiccup: fall back to the long run alone
         dt = t_hi / n_hi
+    return dt
 
-    msps = B * cfg.buf_size / 2 / dt / 1e6
-    print(json.dumps({
-        "metric": "nbfm_demod_iq_throughput_per_chip",
+
+def _audio_to_u8(audio, B, n):
+    import jax
+    import jax.numpy as jnp
+    u8 = jax.lax.bitcast_convert_type(audio, jnp.uint8)
+    return u8.reshape(B, -1)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# config builders: each returns (body, carry0, iq_complex_per_step,
+#                                 min_traffic_bytes)
+# ---------------------------------------------------------------------------
+
+def _flagship(fast_atan2, q=0, B=256):
+    """Fused 3-D path (q0/q3): audio [B, rows, 128] f32 bitcasts straight
+    back to the next iteration's u32 input — zero-copy feedback."""
+    import jax
+    import jax.numpy as jnp
+    from demodulator_tpu.config import DemodConfig
+    from demodulator_tpu.models.nbfm import BlockPipeline
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      mode=0x10 | (q << 2))
+    pipe = BlockPipeline(cfg, fast_atan2=fast_atan2, backend="auto")
+    n = cfg.buf_size
+    rows = (n // 4) // 128
+    rng = np.random.default_rng(0)
+    raw_np = rng.integers(0, 256, size=(B, n), dtype=np.uint8)
+    state = pipe.init_state()
+    if pipe._use_fused() and pipe._use_fused_3d_ok():
+        raw = jax.device_put(raw_np.view(np.uint32).reshape(B, rows, 128))
+
+        def body(i, x):
+            audio = pipe.fused_call_u32_3d(state, x)[1]
+            return jax.lax.bitcast_convert_type(audio, jnp.uint32)
+    else:
+        raw = jax.device_put(raw_np)
+
+        def body(i, x):
+            audio = pipe(state, x)[1]
+            return _audio_to_u8(audio, B, n)
+    return body, raw, B * n // 2, 2 * B * n
+
+
+def _inlpf(q=0, lowpass_in=True, B=256):
+    """Fused -L / -q2 chain (complex FIR stage inside the kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from demodulator_tpu.config import DemodConfig
+    from demodulator_tpu.models.nbfm import BlockPipeline
+    kw = dict(sample_rate=192000.0, lowpass_out=12500.0,
+              mode=0x10 | (q << 2))
+    if lowpass_in:
+        kw.update(lowpass_in=12500.0)
+    cfg = DemodConfig(**kw)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="auto")
+    n = cfg.buf_size
+    rows = (n // 4) // 128
+    rng = np.random.default_rng(1)
+    raw_np = rng.integers(0, 256, size=(B, n), dtype=np.uint8)
+    state = pipe.init_state()
+    if pipe._use_fused_inlpf():
+        raw = jax.device_put(raw_np.view(np.uint32).reshape(B, rows, 128))
+
+        def body(i, x):
+            audio = pipe.fused_call_inlpf_u32_3d(state, x)[1]
+            return jax.lax.bitcast_convert_type(audio, jnp.uint32)
+    else:
+        raw = jax.device_put(raw_np)
+
+        def body(i, x):
+            audio = pipe(state, x)[1]
+            return _audio_to_u8(audio, B, n)
+    return body, raw, B * n // 2, 2 * B * n
+
+
+def _q1(B=256):
+    """correctIq: stateful chain via the blocked affine prefix (MXU)."""
+    import jax
+    from demodulator_tpu.config import DemodConfig
+    from demodulator_tpu.models.nbfm import BlockPipeline
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      mode=0x10 | (1 << 2))
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="auto")
+    n = cfg.buf_size
+    rng = np.random.default_rng(2)
+    raw = jax.device_put(rng.integers(0, 256, size=(B, n), dtype=np.uint8))
+    st0 = pipe.init_state()
+
+    def body(i, carry):
+        st, x = carry
+        st, audio = pipe.process_blocks(st, x)
+        return st, _audio_to_u8(audio, B, n)
+    return body, (st0, raw), B * n // 2, 2 * B * n
+
+
+def _f64(B=64):
+    """float64 chain (-DSET_PRECISION analog): XLA path, f64 audio out."""
+    import jax
+    from demodulator_tpu.config import DemodConfig
+    from demodulator_tpu.models.nbfm import BlockPipeline
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      precision="float64")
+    pipe = BlockPipeline(cfg, backend="auto")
+    n = cfg.buf_size
+    rng = np.random.default_rng(3)
+    raw = jax.device_put(rng.integers(0, 256, size=(B, n), dtype=np.uint8))
+    state = pipe.init_state()
+
+    def body(i, x):
+        import jax.numpy as jnp
+        audio = pipe(state, x)[1]          # [B, n/4] f64 = 2n bytes
+        # demote before the bitcast: a 64-bit bitcast lowers through a u64
+        # intermediate the TPU X64 rewriter rejects
+        return _audio_to_u8(audio.astype(jnp.float32), B, n)
+    return body, raw, B * n // 2, 3 * B * n  # n in + 2n out
+
+
+def _wbfm():
+    """WBFM broadcast chain at 2.4 Msps: state-chained loop (the overlap
+    histories keep the whole audio path live), input dynamic-sliced by the
+    loop index so nothing hoists."""
+    import jax
+    import jax.numpy as jnp
+    from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+    pipe = WbfmPipeline(WbfmConfig())
+    T = pipe.block_complex
+    rng = np.random.default_rng(4)
+    base = jax.device_put(rng.integers(0, 1 << 16, size=2 * T,
+                                       dtype=np.uint16))
+    st0 = pipe.init_state()
+
+    def body(i, st):
+        x = jax.lax.dynamic_slice(base, ((i * 997) % T,), (T,))
+        st, _ = pipe.call_u16(st, x)
+        return st
+    out_bytes = 4 * (T * pipe.chan.L // pipe.chan.M
+                     if hasattr(pipe, "chan") else T)
+    return body, st0, T, 2 * T + out_bytes
+
+
+def _bank(n_chan=8):
+    """Polyphase channel bank: n_chan NBFM channels from one wide stream."""
+    import jax
+    from demodulator_tpu.models.channel_bank import (ChannelBankConfig,
+                                                     ChannelBankPipeline)
+    fs = n_chan * 192000.0
+    offs = tuple((c - n_chan / 2 + 0.5) * 192000.0 for c in range(n_chan))
+    pipe = ChannelBankPipeline(ChannelBankConfig(
+        sample_rate=fs, channel_rate=192000.0, offsets_hz=offs,
+        lowpass_out=12500.0))
+    T = pipe.block_complex
+    rng = np.random.default_rng(5)
+    base = jax.device_put(rng.integers(0, 256, size=4 * T, dtype=np.uint8))
+    st0 = pipe.init_state()
+
+    def body(i, st):
+        x = jax.lax.dynamic_slice(base, (2 * ((i * 997) % T),), (2 * T,))
+        st, _ = pipe(st, x)
+        return st
+    return body, st0, T, 2 * T + n_chan * (T // (fs // 96000.0) * 4)
+
+
+def _sharded(B_per=2):
+    """One sharded step on the available mesh (single chip here: exercises
+    the shard_map overhead; scaling itself is tools/bench_scaling.py)."""
+    import jax
+    import jax.numpy as jnp
+    from demodulator_tpu.config import DemodConfig
+    from demodulator_tpu.parallel.mesh import make_demod_mesh
+    from demodulator_tpu.parallel.sharding import ShardedPipeline
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_demod_mesh()
+    n_t = mesh.devices.shape[0]
+    NB = n_t * B_per * 64
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0)
+    n = cfg.buf_size
+    sp = ShardedPipeline(cfg, mesh, fast_atan2=True)
+    rng = np.random.default_rng(6)
+    raw = jax.device_put(
+        rng.integers(0, 256, size=(1, NB, n), dtype=np.uint8),
+        NamedSharding(mesh, P(None, "time", None)))
+    off = jax.device_put(np.zeros((1, 2), np.float32),
+                         NamedSharding(mesh, P(None, None)))
+
+    def body(i, carry):
+        off, x = carry
+        off, audio = sp(off, x)
+        u8 = jax.lax.bitcast_convert_type(audio, jnp.uint8)
+        return off, u8.reshape(1, NB, n)
+    return body, (off, raw), NB * n // 2, 2 * NB * n
+
+
+MATRIX = [
+    ("nbfm_q0_fused_precise", lambda: _flagship(False, q=0)),
+    ("nbfm_q0_fused_fast", lambda: _flagship(True, q=0)),
+    ("nbfm_q3_fused_fast", lambda: _flagship(True, q=3)),
+    ("nbfm_q1_correctiq", _q1),
+    ("nbfm_q2_dcblock_fused", lambda: _inlpf(q=2, lowpass_in=False)),
+    ("nbfm_inlpf_fused", lambda: _inlpf(q=0, lowpass_in=True)),
+    ("nbfm_f64", _f64),
+    ("wbfm_2p4msps", _wbfm),
+    ("channel_bank_8ch", _bank),
+    ("sharded_step", _sharded),
+]
+
+
+def _measure(name, build, n_lo=10, n_hi=70):
+    body, carry0, iq_per_step, traffic = build()
+    dt = _timed_loop(body, carry0, n_lo=n_lo, n_hi=n_hi)
+    msps = iq_per_step / dt / 1e6
+    floor_s = traffic / HBM_BYTES_PER_S
+    return {
+        "metric": f"iq_throughput_{name}",
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps * 1e6 / 192000.0, 1),
-    }))
+        "roofline": {
+            "min_traffic_bytes_per_step": int(traffic),
+            "hbm_floor_msps": round(iq_per_step / floor_s / 1e6, 1),
+            "achieved_frac": round(dt and floor_s / dt, 3),
+        },
+    }
+
+
+def main():
+    # persistent compile cache (same location as the CLI's): the fused
+    # Pallas kernels take minutes to Mosaic-compile over the remote-TPU
+    # tunnel on first use; a warmed cache makes repeat bench runs ~50 s.
+    from demodulator_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--matrix", action="store_true",
+                    help="benchmark every hot config; write BENCH_MATRIX.json")
+    args = ap.parse_args()
+
+    flagship = _measure("nbfm_q0_fused_fast", lambda: _flagship(True, q=0))
+    flagship_line = {
+        "metric": "nbfm_demod_iq_throughput_per_chip",
+        "value": flagship["value"],
+        "unit": "Msamples/s",
+        "vs_baseline": flagship["vs_baseline"],
+    }
+    if not args.matrix:
+        print(json.dumps(flagship_line))
+        return
+
+    results = [flagship]
+    for name, build in MATRIX:
+        if name == "nbfm_q0_fused_fast":
+            continue  # already measured as the flagship
+        # stateful/sharded configs get shorter loops (they sync more)
+        short = name in ("wbfm_2p4msps", "channel_bank_8ch", "sharded_step",
+                         "nbfm_f64")
+        try:
+            r = _measure(name, build, n_lo=4 if short else 10,
+                         n_hi=24 if short else 70)
+        except Exception as e:  # one broken config must not hide the rest
+            r = {"metric": f"iq_throughput_{name}", "error": repr(e)[:400]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        with open("BENCH_MATRIX.json", "w") as f:  # incremental: crash-safe
+            json.dump(results, f, indent=1)
+    print(json.dumps(flagship_line))
 
 
 if __name__ == "__main__":
