@@ -241,13 +241,27 @@ class ChannelBankPipeline:
 
     # -- sharding --------------------------------------------------------
     def shard_over(self, mesh, state: ChannelBankState):
-        """Place the [C]-leading state (and LUTs) over the mesh's chan axis;
-        returns (sharded_state, out_sharding) for jit donate/out_shardings."""
+        """Place the per-channel state (and, on the mixer path, the LUTs)
+        over the mesh's chan axis; returns (sharded_state, out_sharding)
+        for jit donate/out_shardings.
+
+        Mixer method: everything is [C]-leading — LUTs, phasor, histories —
+        so the whole bank is embarrassingly parallel over `chan`.  PFB
+        method: the polyphase front end runs once on the wideband stream
+        (its history is per-lane, not per-channel) and stays replicated;
+        only the per-channel audio FIR history shards."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import CHAN_AXIS
         chan = NamedSharding(mesh, P(CHAN_AXIS))
-        self.lut_cos = jax.device_put(self.lut_cos, chan)
-        self.lut_sin = jax.device_put(self.lut_sin, chan)
-        self.rot = jax.device_put(self.rot, chan)
-        state = jax.tree.map(lambda a: jax.device_put(a, chan), state)
+        if self.method == "mixer":
+            self.lut_cos = jax.device_put(self.lut_cos, chan)
+            self.lut_sin = jax.device_put(self.lut_sin, chan)
+            self.rot = jax.device_put(self.rot, chan)
+            state = jax.tree.map(lambda a: jax.device_put(a, chan), state)
+            return state, chan
+        repl = NamedSharding(mesh, P())
+        state = ChannelBankState(
+            phasor=jax.device_put(state.phasor, repl),
+            chan_hist=jax.device_put(state.chan_hist, repl),
+            audio_hist=jax.device_put(state.audio_hist, chan))
         return state, chan

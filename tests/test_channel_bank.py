@@ -104,6 +104,29 @@ def test_chan_axis_sharding():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain), atol=1e-4)
 
 
+def test_chan_axis_sharding_pfb():
+    """PFB method over the chan axis: wideband front replicated, per-channel
+    audio state sharded; output matches the unsharded bank exactly in shape
+    and to f32 noise in value."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from demodulator_tpu.parallel.mesh import make_demod_mesh
+    offs = tuple(float(o) for o in np.linspace(-4 * CR, 3 * CR, 8))
+    cfg = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                            offsets_hz=offs, block_seconds=0.005)
+    p = ChannelBankPipeline(cfg)
+    assert p.method == "pfb"
+    raw = synth_bank(FS, offs, (1000.0,) * 8, p.block_complex, seed=8)
+    st_plain, y_plain = p(p.init_state(), raw)
+
+    mesh = make_demod_mesh(1, 4, devices=np.array(jax.devices()[:4]))
+    p2 = ChannelBankPipeline(cfg)
+    st, chan_sh = p2.shard_over(mesh, p2.init_state())
+    st2, y = jax.jit(p2.__call__, out_shardings=(None, chan_sh))(st, raw)
+    assert y.sharding.is_equivalent_to(chan_sh, y.ndim)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain), atol=1e-4)
+
+
 def test_pfb_auto_selected_on_grid():
     """On-grid offsets → PFB method; off-grid → mixer fallback."""
     on = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
