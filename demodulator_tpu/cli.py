@@ -118,7 +118,7 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     --checkpoint/--resume and --metrics work like the single-stream modes."""
     import numpy as np
     from .models.channel_bank import ChannelBankConfig, ChannelBankPipeline
-    from .runtime.stream import BlockReader
+    from .runtime.stream import make_reader
     if "-" in oarg:
         print("--bank requires a file -o (one output per channel)",
               file=sys.stderr)
@@ -146,7 +146,6 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
             return -1
         from .runtime.checkpoint import load_checkpoint
         state, byte_offset, blocks = load_checkpoint(ck, state, cfg=bcfg)
-        fin.seek(byte_offset)
         open_mode = "ab"
     metrics = None
     if extras["metrics"]:
@@ -155,8 +154,9 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     outs = [open(f"{oarg}.ch{c}.raw", open_mode)
             for c in range(len(offsets))]
     try:
-        reader = BlockReader(fin, pipe.block_bytes,
-                             tail_policy=extras["tail"] or "drop")
+        reader = make_reader(fin, pipe.block_bytes,
+                             tail_policy=extras["tail"] or "drop",
+                             offset=byte_offset)
         done = 0  # blocks since (re)start — byte_offset already covers the rest
         for raw in reader:
             state, audio = fn(state, raw)

@@ -137,7 +137,10 @@ void reader_main(Ring* r) {
 
 extern "C" {
 
-// offset: initial byte position (files only; must be 0 for stdin).
+// offset: initial byte position.  Seekable inputs lseek; pipes/FIFOs
+// (including stdin) consume and discard — resumable captures from a live
+// stream, which the Python reader cannot offer (sys.stdin.buffer may
+// over-read into its userspace buffer).
 void* bio_open(const char* path, size_t block_size, int depth, int tail_pad,
                long offset) {
     if (block_size == 0 || depth < 1 || offset < 0) return nullptr;
@@ -153,8 +156,18 @@ void* bio_open(const char* path, size_t block_size, int depth, int tail_pad,
         r->own_fd = true;
     }
     if (r->fd < 0) { delete r; return nullptr; }
-    if (offset > 0) {
-        if (r->fd == 0 || lseek(r->fd, offset, SEEK_SET) < 0) {
+    if (offset > 0 && lseek(r->fd, offset, SEEK_SET) < 0) {
+        std::vector<uint8_t> scratch(1 << 20);
+        long left = offset;
+        while (left > 0) {
+            size_t want = left < (long)scratch.size()
+                              ? (size_t)left : scratch.size();
+            ssize_t n = read(r->fd, scratch.data(), want);
+            if (n < 0 && (errno == EINTR || errno == EAGAIN)) continue;
+            if (n <= 0) break;  // EOF/error before the offset
+            left -= n;
+        }
+        if (left > 0) {
             if (r->own_fd) close(r->fd);
             delete r;
             return nullptr;

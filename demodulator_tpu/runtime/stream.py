@@ -16,6 +16,7 @@ Framing semantics (compat profile):
 """
 from __future__ import annotations
 
+import io
 import os
 import queue
 import threading
@@ -26,7 +27,8 @@ import numpy as np
 from ..config import DemodConfig
 from ..models.nbfm import BlockPipeline
 
-__all__ = ["BlockReader", "StreamProcessor", "ShardedStreamProcessor"]
+__all__ = ["BlockReader", "make_reader", "StreamProcessor",
+           "ShardedStreamProcessor"]
 
 
 class BlockReader:
@@ -78,6 +80,56 @@ class BlockReader:
                     raise self.error
                 return
             yield item
+
+
+def _seek_or_skip(f: BinaryIO, offset: int) -> None:
+    """Position ``f`` at ``offset``: seek when possible, otherwise consume
+    and discard (pipes/FIFOs — resumable live captures)."""
+    try:
+        f.seek(offset)
+        return
+    except (OSError, io.UnsupportedOperation):
+        pass
+    left = offset
+    while left > 0:
+        d = f.read(min(1 << 20, left))
+        if not d:
+            raise EOFError(
+                f"input ended {left} bytes before the resume offset")
+        left -= len(d)
+
+
+def make_reader(fin: BinaryIO, block_bytes: int, tail_policy: str,
+                offset: int = 0, use_native: bool = True):
+    """Block-reader factory shared by every streaming entry (single-stream,
+    --bank, resume): the native C++ ring-buffer reader (runtime/native) when
+    the input is a real file or stdin, the Python BlockReader for any other
+    BinaryIO.  Both yield identical full uint8 blocks; ``offset`` is handled
+    inside whichever reader is chosen (the native one lseeks files and
+    skip-reads pipes in C; the fallback seeks-or-skips ``fin`` itself).
+    DEMODULATOR_TPU_NO_NATIVE=1 forces the Python reader."""
+    if use_native and not os.environ.get("DEMODULATOR_TPU_NO_NATIVE"):
+        import sys
+        path = None
+        if fin is sys.stdin.buffer:
+            path = "-"
+        else:
+            name = getattr(fin, "name", None)
+            if isinstance(name, str) and name not in ("<stdin>",):
+                if os.path.exists(name):
+                    path = name
+        if path is not None:
+            try:
+                from . import native
+                if native.available():
+                    return native.NativeBlockReader(
+                        path, block_bytes, tail_policy=tail_policy,
+                        offset=offset)
+            except Exception:
+                pass  # fall back to the Python reader
+    if offset:
+        _seek_or_skip(fin, offset)
+    return BlockReader(fin, block_bytes, tail_policy=tail_policy)
 
 
 class ChunkReader:
@@ -530,30 +582,8 @@ class StreamProcessor:
 
     def _make_reader(self, fin: BinaryIO, tail_policy: str,
                      offset: int = 0):
-        """Prefer the native C++ ring-buffer reader (runtime/native) when the
-        input is a real file or stdin; any other BinaryIO uses the Python
-        reader.  Both yield identical full uint8 blocks.
-        DEMODULATOR_TPU_NO_NATIVE=1 forces the Python reader."""
-        if self.use_native and not os.environ.get("DEMODULATOR_TPU_NO_NATIVE"):
-            import sys
-            path = None
-            if fin is sys.stdin.buffer:
-                path = "-"
-            else:
-                name = getattr(fin, "name", None)
-                if isinstance(name, str) and name not in ("<stdin>",):
-                    if os.path.exists(name):
-                        path = name
-            if path is not None and not (path == "-" and offset):
-                try:
-                    from . import native
-                    if native.available():
-                        return native.NativeBlockReader(
-                            path, self.block_bytes, tail_policy=tail_policy,
-                            offset=offset)
-                except Exception:
-                    pass  # fall back to the Python reader
-        return BlockReader(fin, self.block_bytes, tail_policy=tail_policy)
+        return make_reader(fin, self.block_bytes, tail_policy,
+                           offset=offset, use_native=self.use_native)
 
     def run(self, fin: BinaryIO, fout: BinaryIO,
             tail_policy: str | None = None,
@@ -583,7 +613,9 @@ class StreamProcessor:
             from .checkpoint import load_checkpoint
             state, byte_offset, blocks = load_checkpoint(
                 checkpoint_path, state, cfg=ck_cfg)
-            fin.seek(byte_offset)
+        # offset is handled inside the reader: lseek/skip-read for the
+        # native one, seek-or-skip of fin for the Python fallback — so a
+        # pipe capture (stdin/FIFO) is resumable too
         reader = self._make_reader(fin, tail_policy, offset=byte_offset)
         if self._continuous:
             return self._run_continuous(reader, fout, state, blocks,
