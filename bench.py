@@ -145,8 +145,11 @@ def _inlpf(q=0, lowpass_in=True, B=256):
 
 
 def _q1(B=256):
-    """correctIq: stateful chain via the blocked affine prefix (MXU)."""
+    """correctIq: fused kernel with the DC tracker chained through the
+    block sequence in VMEM scratch (XLA blocked-affine-prefix fallback
+    off-TPU)."""
     import jax
+    import jax.numpy as jnp
     from demodulator_tpu.config import DemodConfig
     from demodulator_tpu.models.nbfm import BlockPipeline
     cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
@@ -154,8 +157,18 @@ def _q1(B=256):
     pipe = BlockPipeline(cfg, fast_atan2=True, backend="auto")
     n = cfg.buf_size
     rng = np.random.default_rng(2)
-    raw = jax.device_put(rng.integers(0, 256, size=(B, n), dtype=np.uint8))
+    raw_np = rng.integers(0, 256, size=(B, n), dtype=np.uint8)
     st0 = pipe.init_state()
+    if pipe._use_fused_q1():
+        rows = (n // 4) // 128
+        u32 = jax.device_put(raw_np.view(np.uint32).reshape(B, rows, 128))
+
+        def body(i, carry):
+            st, x = carry
+            st, audio = pipe.fused_call_q1_u32_3d(st, x)
+            return st, jax.lax.bitcast_convert_type(audio, jnp.uint32)
+        return body, (st0, u32), B * n // 2, 2 * B * n
+    raw = jax.device_put(raw_np)
 
     def body(i, carry):
         st, x = carry
@@ -247,11 +260,21 @@ def _sharded(B_per=2):
     n = cfg.buf_size
     sp = ShardedPipeline(cfg, mesh, fast_atan2=True)
     rng = np.random.default_rng(6)
-    raw = jax.device_put(
-        rng.integers(0, 256, size=(1, NB, n), dtype=np.uint8),
-        NamedSharding(mesh, P(None, "time", None)))
+    raw_np = rng.integers(0, 256, size=(1, NB, n), dtype=np.uint8)
     off = jax.device_put(np.zeros((1, 2), np.float32),
                          NamedSharding(mesh, P(None, None)))
+    if sp.fused_u32_ok() and sp.pipe._use_fused():
+        rows = (n // 4) // 128
+        u32 = jax.device_put(
+            raw_np.view(np.uint32).reshape(1, NB, rows, 128),
+            NamedSharding(mesh, P(None, "time", None, None)))
+
+        def body(i, carry):
+            off, x = carry
+            off, audio = sp.call_u32(off, x)
+            return off, jax.lax.bitcast_convert_type(audio, jnp.uint32)
+        return body, (off, u32), NB * n // 2, 2 * NB * n
+    raw = jax.device_put(raw_np, NamedSharding(mesh, P(None, "time", None)))
 
     def body(i, carry):
         off, x = carry

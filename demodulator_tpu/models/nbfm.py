@@ -173,6 +173,77 @@ class BlockPipeline:
         return (self.fused_eligible and self.out_fir.Wh <= 128
                 and self.out_fir.H <= 128)
 
+    # -- fused correctIq (-q1) path ---------------------------------------
+    def fused_q1_eligible(self) -> bool:
+        """Eligibility for the correctIq fused kernel (fused_nbfm_q1_u32_3d):
+        the two-ended tracker needs an even row split (front/back mirror
+        halves land on whole VMEM rows) and the f64 head patch must fit one
+        lane row; tiny -b blocks stay on the XLA path."""
+        cfg = self.cfg
+        n4 = cfg.buf_size // 4
+        rows = n4 // 128
+        return (cfg.demod_mode() != 0
+                and cfg.conditioning_kind() == 1
+                and self.in_fir is None and self.dc_fir is None
+                and n4 % 128 == 0 and rows % 2 == 0 and rows >= 4
+                and self.dtype == jnp.float32
+                and self.out_fir.Wh <= 128 and self.out_fir.H <= 128)
+
+    def _use_fused_q1(self) -> bool:
+        return self.fused_q1_eligible() and self._backend_wants_fused()
+
+    def fused_call_q1_u32_3d(self, state: PipelineState, u32: jax.Array,
+                             interpret: bool = False):
+        """correctIq fused path: u32 uint32 [B, rows, 128] (host-viewed raw
+        bytes) → (state, audio [B, rows, 128]).  The batch dimension is the
+        BLOCK SEQUENCE: the DC tracker chains block-to-block inside the
+        kernel (sequential grid + VMEM scratch), exactly like the C static
+        (src/matrix.c:125), so one dispatch replaces a lax.scan/prefix over
+        blocks AND the per-sample geometric-prefix XLA stages."""
+        from ..ops.pallas.fused_nbfm import fused_nbfm_q1_u32_3d
+        assert self._use_fused_q1() or interpret
+        taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
+        off_in = state.iq_off.reshape(-1)[:2]
+        audio, offs_in, off_fin = fused_nbfm_q1_u32_3d(
+            u32, off_in, taps, float(self.esr), interpret=interpret,
+            precise=not self.fast_atan2)
+        audio = self._q1_head_patch(audio, u32, offs_in)
+        return (PipelineState(iq_off=off_fin.reshape(state.iq_off.shape)),
+                audio)
+
+    def _q1_head_patch(self, audio: jax.Array, u32: jax.Array,
+                       offs_in: jax.Array) -> jax.Array:
+        """f64 head correction for the q1 kernel: recompute the DC-tracker
+        trajectory over the first Wh words (steps 0..2Wh-1) from the
+        per-block entering offsets, condition, demodulate, and overwrite
+        the first H audio samples with the dense f64 head rows."""
+        W, H = self.out_fir.Wh, self.out_fir.H
+        B, rows, _ = u32.shape
+        f64 = jnp.float64
+        front = jax.lax.bitcast_convert_type(
+            u32[:, 0, :W], jnp.uint8).astype(f64)          # [B, W, 4]
+        back = jax.lax.bitcast_convert_type(
+            u32[:, rows - 1, 128 - W:], jnp.uint8).astype(f64)
+        back = jnp.flip(back, axis=-2)   # word n-1-v at index v
+        # back word bytes: (I of step 2v+1, Q of 2v+1, I of 2v, Q of 2v)
+        esr = f64(float(np.float32(self.esr)))
+        a = 1.0 - 2.0 * float(np.float32(self.esr))
+        s0 = (front[..., 0:2] + back[..., 2:4]) * esr       # step 2v
+        s1 = (front[..., 2:4] + back[..., 0:2]) * esr       # step 2v+1
+        s = jnp.stack([s0, s1], axis=-2).reshape(B, 2 * W, 2)
+        k = np.arange(2 * W)
+        expo = k[:, None] - 1 - k[None, :]                  # j < k
+        T = np.where(expo >= 0, np.power(a, np.maximum(expo, 0)), 0.0)
+        pref = jnp.einsum("kj,bjl->bkl", jnp.asarray(T, f64), s)
+        apow = jnp.asarray(np.power(a, k), f64)
+        off_steps = (apow[None, :, None] * offs_in.astype(f64)[:, None, :]
+                     + pref)                                # [B, 2W, 2]
+        cond = (front.reshape(B, W, 2, 2)
+                - off_steps.reshape(B, W, 2, 2)).astype(self.dtype)
+        dh = demod_ops.fm_demod(cond.reshape(B, 4 * W), fast=self.fast_atan2)
+        head = self.out_fir.head_only(dh)
+        return audio.at[:, 0, :H].set(head)
+
     # -- fused path with a complex-FIR stage (-L or -q2) fused in ---------
     def _fused_cplx_stage(self):
         """The single complex-FIR stage on the fused path: the -L input
@@ -427,6 +498,15 @@ class BlockPipeline:
         if self.cfg.conditioning_kind() != 1:
             return self(state, raw)
         n = self.cfg.buf_size
+        if self._use_fused_q1():
+            # device-side u32 pack (callers holding host buffers should
+            # feed fused_call_q1_u32_3d the free host view instead)
+            rows = (n // 4) // 128
+            u32 = jax.lax.bitcast_convert_type(
+                raw.reshape(-1, n // 4, 4), jnp.uint32).reshape(
+                    -1, rows, 128)
+            st, audio = self.fused_call_q1_u32_3d(state, u32)
+            return st, audio.reshape(*raw.shape[:-1], n >> 2)
         decay = cond_ops.correct_iq_decay(n, self.esr, self.dtype)
         a_tot = (decay[-1] * decay[1]).astype(self.dtype)
         out0, b_tot = cond_ops.correct_iq_zero(raw, self.esr, self.dtype)

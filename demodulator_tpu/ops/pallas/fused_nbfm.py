@@ -170,12 +170,15 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
     zj = b * c - a * d
     x = _atan2_fast_recip(zj, zr, precise)       # [blk, rows, 128] demod
     x = jnp.where(jnp.isnan(x), jnp.float32(0.0), x)  # NaN clamp (matrix.c:174)
+    out_ref[...] = _audio_fir(x, taps, rows)
 
-    # stationary anti-causal FIR: y[q] = Σ_d taps[d]·x[q+d] in row-major
-    # order within each block.  x[q+d] = roll left by d with cross-row
-    # carry; beyond-block reads are zero (compat semantics).  The rolls
-    # operate on the trailing two axes, so the leading block axis stays
-    # independent.
+
+def _audio_fir(x, taps, rows):
+    """Stationary anti-causal FIR: y[q] = Σ_d taps[d]·x[q+d] in row-major
+    order within each block.  x[q+d] = roll left by d with cross-row
+    carry; beyond-block reads are zero (compat semantics).  The rolls
+    operate on the trailing two axes, so any leading block axis stays
+    independent."""
     rax, cax = x.ndim - 2, x.ndim - 1
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, cax)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, rax)
@@ -192,7 +195,7 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
         valid = (row < rows - 1) | (col < LANES - d)
         shifted = jnp.where(valid, shifted, jnp.float32(0.0))
         y = y + jnp.float32(taps[d]) * shifted
-    out_ref[...] = y
+    return y
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "conditioning",
@@ -293,3 +296,242 @@ def fused_nbfm(raw: jax.Array, taps: tuple, conditioning: str = "shift",
     u32 = jax.lax.bitcast_convert_type(
         raw.reshape(B, n // 4, 4), jnp.uint32)
     return fused_nbfm_u32(u32, taps, conditioning, interpret)
+
+
+# ---------------------------------------------------------------------------
+# correctIq (-q1) fused kernel
+# ---------------------------------------------------------------------------
+#
+# The reference's correctIq (src/matrix.c:120-140) is a per-I/Q-lane DC
+# tracker chaining through EVERY sample pair AND every block — the one truly
+# sequential conditioning mode.  The recurrence is affine
+# (off' = a·off + esr·(front+back), a = 1-2·esr), so inside a block the
+# whole offset trajectory factorizes onto the MXU:
+#
+#   * per word (two pair-steps) an affine summary (a², bw);
+#   * within each 128-lane row, the exclusive prefix of bw is ONE matmul
+#     with a lower-triangular geometric Toeplitz matrix T;
+#   * across the block's rows, a second tiny triangular matmul over the
+#     row summaries;
+#   * block-to-block, the scalar offset carries through VMEM scratch
+#     across a SEQUENTIAL grid — one kernel launch chains the entire batch
+#     exactly like the C static variable, in one HBM pass.
+#
+# correctIq pairs each front sample with its mirror from the block's END
+# (two-ended fill, src/matrix.c:126-136).  Mosaic has no vector reverse
+# (`rev` is unimplemented), so mirrors are matmuls with anti-identity
+# matrices: lanes reverse via X @ J, rows via J_R @ X — MXU work that
+# replaces what would otherwise be an unvectorizable gather.
+
+
+def _dot_hi(a, b):
+    return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _q1_kernel(off_in_ref, u32_ref, t_ref, j_ref, trow_ref, jr_ref,
+               alane_ref, wl_ref, arow_ref, wrow_ref,
+               out_ref, offs_ref, off_out_ref, scr_ref,
+               *, taps, esr, decay, n_words, rows, precise):
+    """One grid step = one block, chained sequentially via ``scr_ref``.
+
+    off_in_ref: [2, 128] f32 — incoming DC offset (I row 0, Q row 1,
+    broadcast along lanes); consumed at grid step 0 only.
+    u32_ref: [1, rows, 128] uint32 raw bytes.  out_ref: audio.
+    offs_ref: [1, 2, 128] — the offset ENTERING this block (for the f64
+    head patch outside).  off_out_ref: [2, 128] — final offset.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        scr_ref[...] = off_in_ref[...]
+
+    off = scr_ref[...]                       # [2, 128]
+    offs_ref[0] = off                        # entering offset, per block
+    offI = off[0:1, 0:1]                     # [1, 1] broadcastable
+    offQ = off[1:2, 0:1]
+
+    u = u32_ref[0]
+    mask = jnp.uint32(0xFF)
+    f32 = jnp.float32
+    # raw bytes as float (correctIq conditions RAW uint8 values); the
+    # int32 hop exists because Mosaic has no u32→f32 cast
+    pa = (u & mask).astype(jnp.int32).astype(f32)
+    pb = ((u >> 8) & mask).astype(jnp.int32).astype(f32)
+    pc = ((u >> 16) & mask).astype(jnp.int32).astype(f32)
+    pd = ((u >> 24) & mask).astype(jnp.int32).astype(f32)
+    R2 = rows // 2
+    aF, aB = pa[:R2], pa[R2:]
+    bF, bB = pb[:R2], pb[R2:]
+    cF, cB = pc[:R2], pc[R2:]
+    dF, dB = pd[:R2], pd[R2:]
+
+    J = j_ref[...]                           # [128, 128] anti-identity
+    JR = jr_ref[...]                         # [R2, R2] anti-identity
+
+    def mirror(x):                           # rows+lanes reverse, on the MXU
+        return _dot_hi(JR, _dot_hi(x, J))
+
+    # mirrored back planes in front (v) coordinates: back word n-1-v holds
+    # steps (2v+1, 2v) — byte-pair order swapped vs the front word
+    aBm = mirror(aB)                         # I of step 2v+1
+    bBm = mirror(bB)                         # Q of step 2v+1
+    cBm = mirror(cB)                         # I of step 2v
+    dBm = mirror(dB)                         # Q of step 2v
+
+    e = f32(esr)
+    ad = f32(decay)                          # a = 1 - 2·esr per pair-step
+    s0I = (aF + cBm) * e                     # b_k at step 2v, I lane
+    s0Q = (bF + dBm) * e
+    s1I = (cF + aBm) * e                     # step 2v+1
+    s1Q = (dF + bBm) * e
+    bwI = ad * s0I + s1I                     # per-word affine summary
+    bwQ = ad * s0Q + s1Q
+
+    # exclusive prefixes: lanes (Toeplitz T, ratio a²) then rows (Trow,
+    # ratio a^256); wl folds a row into its summary
+    T = t_ref[...]
+    Trow = trow_ref[...]
+    wl = wl_ref[...]                         # [128, 1]
+    LpI = _dot_hi(bwI, T)                    # [R2, 128] within-row prefix
+    LpQ = _dot_hi(bwQ, T)
+    rsI = _dot_hi(bwI, wl)                   # [R2, 1] row summaries
+    rsQ = _dot_hi(bwQ, wl)
+    RI = _dot_hi(Trow, rsI) + arow_ref[...] * offI   # state entering row r
+    RQ = _dot_hi(Trow, rsQ) + arow_ref[...] * offQ
+    offwI = alane_ref[...] * RI + LpI        # state entering word (r, l)
+    offwQ = alane_ref[...] * RQ + LpQ
+    off1I = ad * offwI + s0I                 # state entering step 2v+1
+    off1Q = ad * offwQ + s0Q
+
+    # conditioned planes; back words subtract MIRRORED offsets
+    aFc = aF - offwI
+    bFc = bF - offwQ
+    cFc = cF - off1I
+    dFc = dF - off1Q
+    aBc = aB - mirror(off1I)
+    bBc = bB - mirror(off1Q)
+    cBc = cB - mirror(offwI)
+    dBc = dB - mirror(offwQ)
+    ac = jnp.concatenate([aFc, aBc], axis=0)
+    bc = jnp.concatenate([bFc, bBc], axis=0)
+    cc = jnp.concatenate([cFc, cBc], axis=0)
+    dc = jnp.concatenate([dFc, dBc], axis=0)
+
+    zr = ac * cc + bc * dc
+    zj = bc * cc - ac * dc
+    x = _atan2_fast_recip(zj, zr, precise)
+    x = jnp.where(jnp.isnan(x), f32(0.0), x)
+    out_ref[0] = _audio_fir(x, taps, rows)
+
+    # chain: off_out = a^{n_words}·off_in + Σ_r (a²ᐧ¹²⁸)^{R2-1-r}·rowsum_r
+    totI = jnp.sum(rsI * wrow_ref[...], axis=0, keepdims=True)
+    totQ = jnp.sum(rsQ * wrow_ref[...], axis=0, keepdims=True)
+    a_n = f32(float(decay) ** n_words)
+    newI = a_n * offI + totI[:, 0:1]
+    newQ = a_n * offQ + totQ[:, 0:1]
+    new = jnp.concatenate([jnp.broadcast_to(newI, (1, LANES)),
+                           jnp.broadcast_to(newQ, (1, LANES))], axis=0)
+    scr_ref[...] = new
+    off_out_ref[...] = new
+
+
+def _q1_consts(decay: float, rows: int):
+    """Host-side f64-accumulated constant matrices for the q1 kernel."""
+    R2 = rows // 2
+    q = float(decay) ** 2                    # per-word ratio
+    k = np.arange(LANES)
+    expo = k[None, :] - 1 - k[:, None]       # T[j, l] = q^(l-1-j), j < l
+    T = np.where(expo >= 0, np.power(q, np.maximum(expo, 0)), 0.0)
+    J = np.eye(LANES)[::-1].copy()
+    r = np.arange(R2)
+    qr = q ** LANES                          # per-row ratio
+    # Trow[R, r'] = qr^(R-1-r') for r' < R (exclusive row prefix)
+    expr = r[:, None] - 1 - r[None, :]
+    Trow = np.where(expr >= 0, np.power(qr, np.maximum(expr, 0)), 0.0)
+    JR = np.eye(R2)[::-1].copy()
+    alane = np.power(q, k)[None, :]          # [1, 128]
+    wl = np.power(q, LANES - 1 - k)[:, None]  # [128, 1]
+    arow = np.power(qr, r)[:, None]          # [R2, 1]
+    wrow = np.power(qr, R2 - 1 - r)[:, None]
+    f = np.float32
+    return (T.astype(f), J.astype(f), Trow.astype(f), JR.astype(f),
+            alane.astype(f), wl.astype(f), arow.astype(f), wrow.astype(f))
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "esr", "interpret",
+                                             "precise"))
+def fused_nbfm_q1_u32_3d(u32: jax.Array, off_in: jax.Array, taps: tuple,
+                         esr: float, interpret: bool = False,
+                         precise: bool = True):
+    """correctIq-conditioned fused chain: u32 uint32 [B, rows, 128] raw
+    bytes, off_in [2] f32 (the tracker state entering block 0) →
+    (audio f32 [B, rows, 128], off_entering [B, 2], off_final [2]).
+
+    Blocks chain SEQUENTIALLY (grid order) through VMEM scratch — exact
+    per-block order like the C static (src/matrix.c:125); within a block
+    the offset trajectory is exact in real arithmetic (blocked geometric
+    prefix; f32 rounding differs from the sequential order by ~1e-7
+    relative, same as ops.conditioning.correct_iq).  The caller overwrites
+    the first out_fir.H audio samples per block with the f64 head patch
+    (models.nbfm.BlockPipeline.fused_call_q1_u32_3d).
+    """
+    B, rows, lanes = u32.shape
+    assert lanes == LANES and rows % 2 == 0, u32.shape
+    decay = 1.0 - 2.0 * float(np.float32(esr))
+    n_words = rows * LANES
+    consts = _q1_consts(decay, rows)
+    R2 = rows // 2
+    off2 = jnp.broadcast_to(off_in.astype(jnp.float32)[:, None], (2, LANES))
+    zero = np.int32(0)
+    cmaps = [
+        pl.BlockSpec((LANES, LANES), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # T
+        pl.BlockSpec((LANES, LANES), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # J
+        pl.BlockSpec((R2, R2), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # Trow
+        pl.BlockSpec((R2, R2), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # JR
+        pl.BlockSpec((1, LANES), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # alane
+        pl.BlockSpec((LANES, 1), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # wl
+        pl.BlockSpec((R2, 1), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # arow
+        pl.BlockSpec((R2, 1), lambda i: (zero, zero),
+                     memory_space=pltpu.VMEM),      # wrow
+    ]
+    audio, offs, off_out = pl.pallas_call(
+        functools.partial(_q1_kernel, taps=taps, esr=float(np.float32(esr)),
+                          decay=decay, n_words=n_words, rows=rows,
+                          precise=precise),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((2, LANES), lambda i: (zero, zero),
+                         memory_space=pltpu.VMEM),          # off_in
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
+                         memory_space=pltpu.VMEM),          # u32
+            *cmaps,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
+                         memory_space=pltpu.VMEM),          # audio
+            pl.BlockSpec((1, 2, LANES), lambda i: (i, zero, zero),
+                         memory_space=pltpu.VMEM),          # offs entering
+            pl.BlockSpec((2, LANES), lambda i: (zero, zero),
+                         memory_space=pltpu.VMEM),          # off_out
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((2, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(off2, u32, *[jnp.asarray(c) for c in consts])
+    return audio, offs[:, :, 0], off_out[:, 0]

@@ -244,6 +244,13 @@ class ShardedStreamProcessor:
         self._off_sh = NamedSharding(self.mesh, P(None, None))
         self._rep_sh = NamedSharding(self.mesh, P(None, None))
         self._hn_sh = NamedSharding(self.mesh, P(None))
+        # fused-kernel chunk step (q0/q3 on TPU): feed the chunk host-viewed
+        # as uint32 [1, NB, rows, 128] so the per-shard pallas_call is the
+        # only device op — same zero-copy trick as StreamProcessor
+        self._fused = self.sp.fused_u32_ok() and self.sp.pipe._use_fused()
+        self._rows = (cfg.buf_size // 4) // 128
+        self._u32_spec = P(None, TIME_AXIS, None, None)
+        self._u32_sh = NamedSharding(self.mesh, self._u32_spec)
         self._jax = jax
         self.n_proc = jax.process_count()
         if self.n_proc > 1:
@@ -279,6 +286,15 @@ class ShardedStreamProcessor:
 
     def _step(self, off_g, chunk_np: np.ndarray,
               next_blk: np.ndarray | None):
+        if self._fused:
+            u32 = np.ascontiguousarray(chunk_np).view(np.uint32).reshape(
+                len(chunk_np), self._rows, 128)[None]      # free host views
+            if self.n_proc > 1:
+                from ..parallel.distributed import host_chunk
+                u32_g = host_chunk(self.mesh, u32, self._u32_spec)
+            else:
+                u32_g = self._jax.device_put(u32, self._u32_sh)
+            return self.sp.call_u32(off_g, u32_g)
         raw_g = self._put_chunk(chunk_np)
         if self.continuous:
             nb = next_blk if next_blk is not None else np.zeros(
@@ -564,6 +580,15 @@ class StreamProcessor:
                 self.fn = lambda st, raw: f32c(
                     st, np.ascontiguousarray(raw).view(np.uint32)
                     .reshape(1, -1))
+            elif self.pipe._use_fused_q1():
+                # correctIq: fused kernel with the DC tracker chained in
+                # VMEM scratch; same zero-copy u32 feed
+                fq1 = jax.jit(self.pipe.fused_call_q1_u32_3d,
+                              donate_argnums=(0,))
+                rows = (cfg.buf_size // 4) // 128
+                self.fn = lambda st, raw: fq1(
+                    st, np.ascontiguousarray(raw).view(np.uint32)
+                    .reshape(1, rows, 128))
             else:
                 self.fn = self.pipe.jit_block_fn()
         else:

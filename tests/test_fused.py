@@ -178,3 +178,42 @@ def test_fused_inlpf_3d_bytes_identical():
     _, a3d = pipe.fused_call_inlpf_u32_3d(st, u32, interpret=True)
     np.testing.assert_array_equal(np.asarray(a3d).reshape(2, -1),
                                   np.asarray(flat))
+
+
+def test_fused_q1_matches_xla_and_chains_state():
+    """correctIq fused kernel (interpret mode): matches the XLA blocked-
+    affine-prefix path to f32 noise, including the f64 head patch and the
+    cross-block DC-tracker chain; two sequential dispatches equal one
+    batched dispatch (streaming continuity)."""
+    import jax.numpy as jnp
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      buf_size=BUF, mode=0x10 | (1 << 2))
+    pipe = BlockPipeline(cfg, backend="xla")
+    assert pipe.fused_q1_eligible()
+    rng = np.random.default_rng(21)
+    B = 6
+    raw = rng.integers(0, 256, size=(B, BUF), dtype=np.uint8)
+    rows = (BUF // 4) // 128
+    u32 = jnp.asarray(raw.view(np.uint32).reshape(B, rows, 128))
+    st0 = pipe.init_state()
+
+    st_f, audio = pipe.fused_call_q1_u32_3d(st0, u32, interpret=True)
+    got = np.asarray(audio).reshape(B, -1)
+    st_x, want = pipe.process_blocks(st0, raw)
+    want = np.asarray(want)
+    assert snr_db(want.ravel(), got.ravel()) > 110.0
+    # head patch: f64 dense rows, same as the XLA path's head
+    H = pipe.out_fir.H
+    assert float(np.max(np.abs(got[:, :H] - want[:, :H]))) < 1e-4
+    # carry state matches the XLA chain
+    np.testing.assert_allclose(np.asarray(st_f.iq_off),
+                               np.asarray(st_x.iq_off), atol=1e-3)
+
+    # streaming continuity: block-at-a-time == batched
+    st = st0
+    outs = []
+    for b in range(B):
+        st, a1 = pipe.fused_call_q1_u32_3d(st, u32[b:b + 1], interpret=True)
+        outs.append(np.asarray(a1).reshape(1, -1))
+    seq = np.concatenate(outs)
+    assert snr_db(got.ravel(), seq.ravel()) > 125.0

@@ -109,3 +109,36 @@ def test_correct_iq_state_chain_across_shards(chunk):
         st, _ = pipe(st, chunk[:, j])
     np.testing.assert_allclose(np.asarray(new_off), np.asarray(st.iq_off),
                                rtol=2e-3, atol=2e-2)
+
+
+@pytest.mark.parametrize("q", ["0", "3"])
+def test_fused_u32_sharded_step_matches_xla(chunk, q):
+    """call_u32 (the fused Pallas chunk step inside shard_map, interpret
+    mode on CPU) equals the XLA sharded step to f32 noise and the
+    per-block fused path exactly."""
+    opts = {**BASE, "q": q}
+    mesh = make_demod_mesh(4, 2, devices=np.array(jax.devices()[:8]))
+    cfg = config_from_cli_opts(opts)
+    cfg.buf_size = 4096
+    sp = ShardedPipeline(cfg, mesh)
+    assert sp.fused_u32_ok()
+    off0 = np.zeros((2, 2), np.float32)
+    rows = (cfg.buf_size // 4) // 128
+    u32 = chunk.view(np.uint32).reshape(2, 8, rows, 128)
+    _, audio = sp.call_u32(off0, u32, interpret=True)
+    got = np.asarray(audio).reshape(2, 8, -1)
+    _, want_xla = sp(off0, chunk)
+    assert snr_db(np.asarray(want_xla).reshape(-1), got.reshape(-1)) > 110.0
+    # vs the unsharded per-block fused path: bit-equal for q0 (integer
+    # shift conditioning); q3's normalize multiply admits FMA-contraction
+    # ULP differences between the two compilations
+    pipe = BlockPipeline(cfg)
+    st = pipe.init_state()
+    _, want_fused = pipe.fused_call_u32_3d(
+        st, u32.reshape(16, rows, 128), interpret=True)
+    want_fused = np.asarray(want_fused).reshape(-1)
+    if q == "0":
+        np.testing.assert_array_equal(got.reshape(-1), want_fused)
+    else:
+        np.testing.assert_allclose(got.reshape(-1), want_fused,
+                                   rtol=0, atol=2e-5)
