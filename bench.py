@@ -316,13 +316,17 @@ def _measure_e2e(name, n_blocks=96, fast_atan2=True):
     finally:
         os.unlink(path)
     msps = n_blocks * n / 2 / best / 1e6
-    link = _host_link_bound(n)
+    try:
+        # the link probe must not discard an already-measured e2e number
+        link = _host_link_bound(n)
+    except Exception:
+        link = None
     return {
         "metric": f"iq_throughput_{name}",
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps * 1e6 / 192000.0, 1),
-        "host_link_bound_msps": round(link, 1),
+        "host_link_bound_msps": round(link, 1) if link else None,
         "e2e_frac_of_link": round(msps / link, 3) if link else None,
         "note": "file→device→file wall clock (host feed included). "
                 "host_link_bound_msps is the serialized device_put+get "

@@ -658,36 +658,59 @@ class StreamProcessor:
 
         done = 0            # blocks fully written since (re)start
         state_done = state  # carry state as of `done` blocks
-        state_q: list = []  # host copies paired with pending outputs
+        state_q: list = []  # device-copy snapshots at checkpoint boundaries
+        snap_fn = None
+        if checkpoint_path:
+            # Checkpointing must not serialize the pipeline: snapshotting
+            # via np.asarray at dispatch time forces a per-block device
+            # sync that defeats the inflight window.  Instead, dispatch an
+            # ASYNC on-device copy of the state (before the next fn call
+            # consumes the donated buffer) only for blocks that will land
+            # on a checkpoint boundary, and materialize at drain time —
+            # when the paired audio write syncs that dispatch anyway.
+            import jax as _jax
+            import jax.numpy as _jnp
+            snap_fn = _jax.jit(lambda s: _jax.tree.map(_jnp.copy, s))
+        dispatched = 0
         for raw in reader:
             state, out = self.fn(state, raw)
+            dispatched += 1
             pending.append(out)
-            if checkpoint_path:
-                # materialize now: the device buffers are donated (hence
-                # deleted) by the next fn call
-                import jax as _jax
-                state_q.append(_jax.tree.map(np.asarray, state))
+            if snap_fn is not None and dispatched % checkpoint_every == 0:
+                state_q.append(snap_fn(state))
             else:
                 state_q.append(None)
             if len(pending) >= self.inflight:
                 fout.write(np.asarray(pending.pop(0),
                                       dtype=out_dtype).tobytes())
-                state_done = state_q.pop(0)
+                snap = state_q.pop(0)
                 blocks += 1
                 done += 1
                 if metrics is not None:
                     metrics.block_done()
-                if checkpoint_path and done % checkpoint_every == 0:
+                if snap is not None:
+                    import jax as _jax
+                    state_done = _jax.tree.map(np.asarray, snap)
                     ckpt()
         for out in pending:
             fout.write(np.asarray(out, dtype=out_dtype).tobytes())
-            state_done = state_q.pop(0)
+            snap = state_q.pop(0)
             blocks += 1
             done += 1
             if metrics is not None:
                 metrics.block_done()
+            if snap is not None and checkpoint_path:
+                import jax as _jax
+                state_done = _jax.tree.map(np.asarray, snap)
+                if done % checkpoint_every == 0:
+                    ckpt()
         fout.flush()
-        ckpt()
+        if checkpoint_path:
+            # final state: `state` (after all blocks) is still live — the
+            # stream is over, so this single sync is free
+            import jax as _jax
+            state_done = _jax.tree.map(np.asarray, state)
+            ckpt()
         return blocks
 
     def _run_continuous(self, reader, fout, state, blocks, byte_offset,
@@ -699,6 +722,7 @@ class StreamProcessor:
         transients.  jit dispatch is async, so conditioning block k+1
         overlaps the device filtering of block k."""
         import jax
+        from jax.numpy import copy as jnp_copy
         out_dtype = self.cfg.np_dtype()
         done = 0
         cond_prev = None
@@ -706,6 +730,9 @@ class StreamProcessor:
         def ckpt(n_done, st):
             if checkpoint_path and st is not None:
                 from .checkpoint import save_checkpoint
+                # st may hold device arrays (async snapshot): save_checkpoint
+                # materializes leaves itself, so the sync lands here — at a
+                # checkpoint boundary — not once per block
                 save_checkpoint(checkpoint_path, st,
                                 byte_offset=byte_offset
                                 + n_done * self.block_bytes,
@@ -713,8 +740,14 @@ class StreamProcessor:
 
         # resume semantics: a checkpoint at `done` blocks written holds the
         # conditioning state after blocks 0..done-1, so the resumed run
-        # re-conditions block `done` (the previous run's halo block) itself
-        state_h = jax.tree.map(np.asarray, state) if checkpoint_path else None
+        # re-conditions block `done` (the previous run's halo block) itself.
+        # Snapshots are ASYNC on-device copies (dispatched before the next
+        # _cond_fn call consumes the donated state buffer); they only
+        # materialize inside ckpt(), so checkpointing never serializes the
+        # conditioning↔filtering overlap.
+        snap_fn = (jax.jit(lambda s: jax.tree.map(jnp_copy, s))
+                   if checkpoint_path else None)
+        state_h = snap_fn(state) if checkpoint_path else None
         for raw in reader:
             # state_h currently = state after the blocks already WRITTEN
             new_state, cond = self._cond_fn(state, raw)
@@ -731,7 +764,7 @@ class StreamProcessor:
             cond_prev = cond
             state = new_state
             if checkpoint_path:
-                state_h = jax.tree.map(np.asarray, state)
+                state_h = snap_fn(state)
         if cond_prev is not None:
             halo = np.zeros((*cond_prev.shape[:-1], self._halo_reals),
                             dtype=out_dtype)

@@ -55,7 +55,6 @@ def main(argv=None) -> int:
         # before this runs — override via jax.config (works any time before
         # first backend initialization), as tests/conftest.py does
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.virtual)
@@ -131,10 +130,12 @@ def main(argv=None) -> int:
             data = rng.integers(0, 256, size=nb_total * n,
                                 dtype=np.uint8).tobytes()
             tmpdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
-            with tempfile.NamedTemporaryFile(dir=tmpdir, delete=False) as f:
-                f.write(data)
-                path = f.name
+            path = None
             try:
+                with tempfile.NamedTemporaryFile(dir=tmpdir,
+                                                 delete=False) as f:
+                    path = f.name
+                    f.write(data)
                 with open(os.devnull, "wb") as devnull:
                     with open(path, "rb") as fin:   # warmup / compile
                         sp2.run(fin, devnull)
@@ -145,7 +146,8 @@ def main(argv=None) -> int:
                             sp2.run(fin, devnull)
                             best_e = min(best_e, time.perf_counter() - t0)
             finally:
-                os.unlink(path)
+                if path is not None:
+                    os.unlink(path)
             msps_e = nb_total * n / 2 / best_e / 1e6
             line["msps_e2e"] = round(msps_e, 1)
             line["e2e_frac_of_device"] = round(msps_e / msps, 3)
