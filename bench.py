@@ -284,6 +284,27 @@ def _sharded(B_per=2):
     return body, (off, raw), NB * n // 2, 2 * NB * n
 
 
+def _memcpy_floor(B=256):
+    """DMA-only kernel at the flagship's exact shapes: the MEASURED HBM
+    read+write light-speed (the 819 GB/s paper spec is not achievable —
+    see docs/PERF_NBFM.md), reported as its own matrix row and used as
+    the denominator for each fused row's frac_of_measured_memcpy."""
+    import jax
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.pallas.fused_nbfm import dma_floor_u32_3d
+    n = 262144
+    rows = (n // 4) // 128
+    rng = np.random.default_rng(8)
+    u32 = jax.device_put(
+        rng.integers(0, 256, size=(B, n), dtype=np.uint8)
+        .view(np.uint32).reshape(B, rows, 128))
+
+    def body(i, x):
+        out = dma_floor_u32_3d(x)
+        return jax.lax.bitcast_convert_type(out, jnp.uint32)
+    return body, u32, B * n // 2, 2 * B * n
+
+
 def _measure_e2e(name, n_blocks=96, fast_atan2=True):
     """End-to-end file→device→file wall clock through StreamProcessor:
     the host-feed number the device-resident loops can't see (the
@@ -355,6 +376,7 @@ def _host_link_bound(n, reps=6):
 
 
 MATRIX = [
+    ("hbm_memcpy_floor", _memcpy_floor),
     ("nbfm_q0_fused_precise", lambda: _flagship(False, q=0)),
     ("nbfm_q0_fused_fast", lambda: _flagship(True, q=0)),
     ("nbfm_q3_fused_fast", lambda: _flagship(True, q=3)),
@@ -409,6 +431,7 @@ def main():
         return
 
     results = [flagship]
+    memcpy_msps = None
     for name, build in MATRIX:
         if name == "nbfm_q0_fused_fast":
             continue  # already measured as the flagship
@@ -420,10 +443,20 @@ def main():
                          n_hi=24 if short else 70)
         except Exception as e:  # one broken config must not hide the rest
             r = {"metric": f"iq_throughput_{name}", "error": repr(e)[:400]}
+        if name == "hbm_memcpy_floor" and "value" in r:
+            memcpy_msps = r["value"]
         results.append(r)
         print(json.dumps(r), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:  # incremental: crash-safe
             json.dump(results, f, indent=1)
+    if memcpy_msps:
+        # honest roofline: fraction of the MEASURED memcpy light-speed, for
+        # every row with the flagship's traffic shape (docs/PERF_NBFM.md)
+        for r in results:
+            t = r.get("roofline", {}).get("min_traffic_bytes_per_step")
+            if t == 2 * 256 * 262144 and "value" in r:
+                r["roofline"]["frac_of_measured_memcpy"] = round(
+                    r["value"] / memcpy_msps, 3)
     try:
         r = _measure_e2e("e2e_stream_q0")
     except Exception as e:

@@ -12,15 +12,19 @@ samples), so the input is bitcast to uint32 — one lane per output sample,
 no strided deinterleave.  Bytes unpack with shifts (little-endian:
 a = u & 255 is the first I sample).
 
-The kernel is VPU compute-bound (~65 ops/sample vs a ~200 µs DMA floor per
-64 MiB on v5e).  The discriminator's polynomial atan2 matches jnp.arctan2
-to ~1 ULP (≤2.4e-7 rad measured over the int8 conj-product domain), so the
-kernel is the DEFAULT path; the one tunable is the division: exact by
-default, or (--fast-atan2) the hardware reciprocal estimate plus one
-Newton step (max error ~2e-6 rad on the audio, vs a ≥60 dB acceptance bar
-and ~130 dB measured): 383 → ~315 µs per 64 MiB measured on v5e.  In
-interpret mode (CPU tests) pl.reciprocal is exact, so CPU numerics match
-the exact-division kernel bit-for-bit.
+The kernel is VPU compute-bound: the measured DMA-only floor of the same
+shapes is ~226 µs per 64 MiB step on v5e (≈594 GB/s effective, 0.73 of the
+819 GB/s paper spec) while the full kernel runs ~370 µs precise / ~312 µs
+fast, and op-count deltas (poly length, division kind) move step time
+proportionally — see docs/PERF_NBFM.md for the variant table.  The
+discriminator's polynomial atan2 matches jnp.arctan2 to ~1 ULP (≤2.4e-7
+rad measured over the int8 conj-product domain), so the kernel is the
+DEFAULT path; --fast-atan2 swaps the division for the hardware reciprocal
+estimate plus one Newton step AND shortens the poly to 6 terms (2.52e-6
+rad max, vs a ≥60 dB acceptance bar and ~90 dB delivered).  In interpret
+mode (CPU tests) pl.reciprocal is exact, so CPU fast numerics match
+ops.demod.atan2_fast bit-for-bit and the precise kernel matches the
+exact-division XLA path.
 
 The dense f64 head-row correction (first 2·sosLen samples per block) runs
 outside the kernel in XLA; the kernel computes stationary rows everywhere
@@ -36,20 +40,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..demod import _ATAN_COEFFS
+from ..demod import _ATAN_COEFFS, _ATAN_COEFFS_FAST
 
 LANES = 128
 
 
 def _atan2_fast_recip(y: jax.Array, x: jax.Array,
                       precise: bool = True) -> jax.Array:
-    """ops.demod.atan2_fast inside the kernel.  ``precise`` (the default)
-    divides exactly, matching jnp.arctan2 to ~1 ULP (measured ≤2.4e-7 rad)
+    """ops.demod atan2 inside the kernel.  ``precise`` (the default)
+    divides exactly and evaluates the ~1-ULP 9-term poly, matching
+    jnp.arctan2 to ≤2.4e-7 rad measured over the int8 conj-product domain
     — accurate enough to be the default-flag discriminator.  ``precise=
     False`` (--fast-atan2) swaps the division for the TPU hardware
-    reciprocal estimate + one Newton step (Pallas-only: pl.reciprocal),
-    ~20% faster at ~2e-6 rad max error.  Same octant reduction and signbit
-    quadrant fixups — see ops.demod.atan2_fast for the C99 atan2f
+    reciprocal estimate + one Newton step (Pallas-only: pl.reciprocal) AND
+    the short 6-term poly (ops.demod._ATAN_COEFFS_FAST, 2.52e-6 rad):
+    together 352 → ~312 µs per 64 MiB step measured on v5e, against a
+    ≥60 dB acceptance bar (~90 dB delivered).  Same octant reduction and
+    signbit quadrant fixups — see ops.demod.atan2_fast for the C99 atan2f
     corner-case notes."""
     f32 = jnp.float32
     ax = jnp.abs(x)
@@ -64,8 +71,9 @@ def _atan2_fast_recip(y: jax.Array, x: jax.Array,
         r = r * (f32(2.0) - hi_safe * r)  # one Newton step: ~1e-7 rel error
         z = lo * r
     z2 = z * z
-    p = f32(_ATAN_COEFFS[-1])
-    for c in _ATAN_COEFFS[-2::-1]:
+    coeffs = _ATAN_COEFFS if precise else _ATAN_COEFFS_FAST
+    p = f32(coeffs[-1])
+    for c in coeffs[-2::-1]:
         p = p * z2 + f32(c)
     at = z + z * z2 * p
     at = jnp.where(ay > ax, f32(jnp.pi / 2) - at, at)
@@ -132,14 +140,17 @@ def _cplx_fir_lanes(a, b, c, d, cplx_taps, c_int, rows):
 
 
 def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
-            cplx_taps=None, c_int=None, precise=True):
+            cplx_stages=(), precise=True):
     """One grid step = ``blk`` IQ blocks (independent; leading dim).
 
     u32_ref: [blk, rows, 128] uint32 (4 raw bytes each) — rows*128 demod
     samples per block.  out_ref: [blk, rows, 128] float32 audio.
-    cplx_taps/c_int: optional input-lowpass stage (-L) — the stationary
-    interior of the reference's applyComplexFilter (src/filter.c:233-259)
-    between conditioning and the discriminator.
+    cplx_stages: tuple of (taps, c_int) complex-FIR stages applied in
+    order between conditioning and the discriminator — the stationary
+    interiors of the reference's applyComplexFilter chain
+    (src/filter.c:233-259): one stage for -L or -q2 alone, two stacked
+    stages for -q2 -L (highpassDc then the input lowpass,
+    src/matrix.c:142-157 + 253-266).
     """
     u = u32_ref[...]
     mask = jnp.uint32(0xFF)
@@ -163,8 +174,8 @@ def _kernel(u32_ref, out_ref, *, taps, conditioning, rows,
     else:  # pragma: no cover
         raise ValueError(conditioning)
 
-    if cplx_taps is not None:
-        a, b, c, d = _cplx_fir_lanes(a, b, c, d, cplx_taps, c_int, rows)
+    for staps, sci in cplx_stages:
+        a, b, c, d = _cplx_fir_lanes(a, b, c, d, staps, sci, rows)
 
     zr = a * c + b * d
     zj = b * c - a * d
@@ -236,27 +247,72 @@ def fused_nbfm_u32_3d(u32: jax.Array, taps: tuple,
     )(u32)
 
 
-@functools.partial(jax.jit, static_argnames=("cplx_taps", "c_int", "taps",
+@functools.partial(jax.jit, static_argnames=("cplx_stages", "taps",
                                              "conditioning", "interpret",
                                              "precise"))
-def fused_nbfm_inlpf_u32_3d(u32: jax.Array, cplx_taps: tuple, c_int: tuple,
-                            taps: tuple, conditioning: str = "shift",
-                            interpret: bool = False,
-                            precise: bool = True) -> jax.Array:
-    """fused_nbfm_u32_3d with the input lowpass (-L) stage fused in:
-    conditioning → complex stationary FIR (+ affine constants) →
-    discriminator → audio FIR, one VMEM pass.  The caller must overwrite
-    the audio head region with the dense f64 corrections (complex-filter
-    head rows, audio head rows, and the arena y-coupling from the complex
-    filter's overrun — see BlockPipeline.fused_call_inlpf_u32_3d)."""
+def fused_nbfm_cplx_u32_3d(u32: jax.Array, cplx_stages: tuple,
+                           taps: tuple, conditioning: str = "shift",
+                           interpret: bool = False,
+                           precise: bool = True) -> jax.Array:
+    """fused_nbfm_u32_3d with one or more complex-FIR stages fused in:
+    conditioning → stacked complex stationary FIRs (+ affine constants) →
+    discriminator → audio FIR, one VMEM pass.  cplx_stages is a tuple of
+    (taps, (c_int_i, c_int_q)) in application order: one stage for -L or
+    -q2, two for the combined -q2 -L chain.  The caller must overwrite the
+    audio head (and, two-stage, tail) regions with the dense f64
+    corrections — see BlockPipeline.fused_call_inlpf_u32_3d /
+    fused_call_q2l_u32_3d."""
     B, rows, lanes = u32.shape
     assert lanes == LANES, u32.shape
     blk = 2 if B % 2 == 0 else 1
     zero = np.int32(0)
     return pl.pallas_call(
         functools.partial(_kernel, taps=taps, conditioning=conditioning,
-                          rows=rows, cplx_taps=cplx_taps, c_int=c_int,
+                          rows=rows, cplx_stages=cplx_stages,
                           precise=precise),
+        grid=(B // blk,),
+        in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(u32)
+
+
+def fused_nbfm_inlpf_u32_3d(u32: jax.Array, cplx_taps: tuple, c_int: tuple,
+                            taps: tuple, conditioning: str = "shift",
+                            interpret: bool = False,
+                            precise: bool = True) -> jax.Array:
+    """Single complex-stage wrapper of fused_nbfm_cplx_u32_3d (-L or -q2)."""
+    return fused_nbfm_cplx_u32_3d(u32, ((cplx_taps, c_int),), taps,
+                                  conditioning, interpret, precise)
+
+
+def _dma_kernel(u32_ref, out_ref):
+    """Minimal-compute body: byte-sum cast — the same HBM traffic as the
+    fused kernel with ~no VPU work.  Times the device's achievable
+    read+write bandwidth at these shapes (the honest roofline floor)."""
+    u = u32_ref[...]
+    mask = jnp.uint32(0xFF)
+    s = ((u & mask) + ((u >> 8) & mask) + ((u >> 16) & mask)
+         + (u >> 24)).astype(jnp.int32)
+    out_ref[...] = s.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dma_floor_u32_3d(u32: jax.Array, interpret: bool = False) -> jax.Array:
+    """u32 [B, rows, 128] → f32 [B, rows, 128] with trivial compute: the
+    measured HBM memcpy light-speed for the fused kernel's traffic shape.
+    Measured ~226 µs per 64 MiB in + 64 MiB out on v5e (≈594 GB/s
+    effective, 0.73× the 819 GB/s paper number) — the denominator
+    bench.py's ``frac_of_measured_memcpy`` reports against."""
+    B, rows, lanes = u32.shape
+    assert lanes == LANES, u32.shape
+    blk = 2 if B % 2 == 0 else 1
+    zero = np.int32(0)
+    return pl.pallas_call(
+        _dma_kernel,
         grid=(B // blk,),
         in_specs=[pl.BlockSpec((blk, rows, LANES), lambda i: (i, zero, zero),
                                memory_space=pltpu.VMEM)],
