@@ -327,6 +327,175 @@ class BlockPipeline:
             audio = audio.at[:, 0, :hy].add(add)
         return state, audio
 
+    # -- fused TWO-stage chain (-q2 AND -L together) -----------------------
+    def _q2l_geometry(self):
+        """Patch-window geometry for the two-stage fused chain.
+
+        The kernel computes stationary rows of highpassDc∘inputLPF
+        everywhere; the true chain differs in (a) the combined complex
+        head — dc head rows propagated through the in-stage reach, the
+        in-stage's own head, and the dc-overrun y-coupling's head rows —
+        and (b) the block tail, where the same y-coupling's tail component
+        (ops.fir yc_tail: the dc overrun scribbling the in-stage arena
+        head, read back through the -L x-alias) lands on the final
+        2·sosLen_in pairs.  Both get dense f64 patches in XLA."""
+        dc, inf, outf = self.dc_fir, self.in_fir, self.out_fir
+        hp2 = 0 if inf.yc_head is None else inf.yc_head.shape[0]
+        tc2 = 2 * inf.sos_len
+        p_bad = max(inf.Hc, dc.Hc + inf.Dc, hp2)
+        p_bad += p_bad & 1
+        a_p = max(p_bad // 2, outf.H)       # audio head rows to overwrite
+        nd = max(a_p + outf.D, outf.Wh)     # true demod head rows needed
+        n_pairs = 2 * nd
+        m1 = max(inf.Whc, n_pairs + inf.Dc)     # true dc outputs needed
+        w1_pairs = max(dc.Whc, m1 + dc.Dc)
+        w1_words = -(-w1_pairs // 2)
+        hy = 0 if outf.y_coup is None else outf.y_coup.shape[0]
+        at = tc2 // 2 + outf.D              # audio tail rows to overwrite
+        pt = 2 * at                         # true tail pairs needed
+        m1t = max(pt + inf.Dc, inf.Wtc)     # dc tail outputs needed
+        wt_pairs = max(dc.Wtc, m1t + dc.Dc)
+        wt_words = -(-wt_pairs // 2)
+        return dict(n_pairs=n_pairs, a_p=a_p, nd=nd, m1=m1,
+                    w1_words=w1_words, hy=hy, tc2=tc2, at=at, pt=pt,
+                    m1t=m1t, wt_words=wt_words, hp2=hp2)
+
+    def fused_q2l_eligible(self) -> bool:
+        """Pallas path for -q2 combined with -L: conditioning → highpassDc
+        FIR → input-LPF FIR → discriminator → audio FIR in ONE VMEM pass
+        (the reference consumer's whole chain, src/matrix.c:253-266), with
+        the head and tail corrections patched in XLA."""
+        if (self.cfg.demod_mode() == 0 or self.in_fir is None
+                or self.dc_fir is None
+                or self.cfg.conditioning_kind() != 2
+                or (self.cfg.buf_size // 4) % 128 != 0
+                or self.dtype != jnp.float32):
+            return False
+        rows = (self.cfg.buf_size // 4) // 128
+        g = self._q2l_geometry()
+        return (rows >= 2 and self.dc_fir.Dc < 254 and self.in_fir.Dc < 254
+                and g["w1_words"] <= 128 and g["wt_words"] <= 128
+                and g["a_p"] <= 128 and g["hy"] <= 128 and g["at"] <= 128
+                and g["nd"] <= 128)
+
+    def _use_fused_q2l(self) -> bool:
+        return self.fused_q2l_eligible() and self._backend_wants_fused()
+
+    def fused_call_q2l_u32_3d(self, state: PipelineState, u32: jax.Array,
+                              interpret: bool = False):
+        """u32: uint32 [B, rows, 128] host-shaped → (state, audio
+        [B, rows, 128]).  Two stacked complex stages inside the kernel;
+        f64 head patch on row 0, y-coupling adds, and the tail patch on
+        the last row (see _q2l_geometry)."""
+        from ..ops.pallas.fused_nbfm import fused_nbfm_cplx_u32_3d
+        assert self.fused_q2l_eligible() or interpret
+        dc, inf, outf = self.dc_fir, self.in_fir, self.out_fir
+        g = self._q2l_geometry()
+        taps = tuple(float(t) for t in np.asarray(outf.taps))
+        stages = tuple(
+            (tuple(float(t) for t in np.asarray(s.taps)),
+             tuple(float(v) for v in np.asarray(s.c_int)))
+            for s in (dc, inf))
+        audio = fused_nbfm_cplx_u32_3d(u32, stages, taps, "shift",
+                                       interpret=interpret,
+                                       precise=not self.fast_atan2)
+
+        B, rows, _ = u32.shape
+        cond = (cond_ops.normalize_input
+                if self.cfg.conditioning_kind() == 3
+                else cond_ops.shift_origin)
+        f64 = jnp.float64
+
+        # conditioned head / tail pair windows
+        head_bytes = jax.lax.bitcast_convert_type(
+            u32[:, 0, : g["w1_words"]], jnp.uint8).reshape(
+                B, 4 * g["w1_words"])
+        head_pairs = cond(head_bytes, self.dtype).reshape(B, -1, 2)
+        tail_bytes = jax.lax.bitcast_convert_type(
+            u32[:, -1, -g["wt_words"]:], jnp.uint8).reshape(
+                B, 4 * g["wt_words"])
+        tail_pairs = cond(tail_bytes, self.dtype).reshape(B, -1, 2)
+
+        # dc overrun — the y_init of the in-stage's arena (src/matrix.c
+        # scratch reuse); drives both coupling adds below
+        dc_over = dc.over_only(head_pairs, tail_pairs)        # [B, Kc1, 2]
+        dc_over_flat = dc_over.reshape(B, -1).astype(f64)
+
+        # --- head: true chain through both stages -------------------------
+        y1_head = dc.pairs_head(head_pairs, g["m1"])          # [B, m1, 2]
+        y2_head = inf.pairs_head(y1_head, g["n_pairs"])       # [B, n_pairs, 2]
+        if g["hp2"]:
+            add_h = jnp.einsum("plk,...k->...pl", inf.yc_head,
+                               dc_over_flat).astype(self.dtype)
+            y2_head = jnp.concatenate(
+                [y2_head[:, : g["hp2"]] + add_h, y2_head[:, g["hp2"]:]],
+                axis=1)
+        d_head = demod_ops.fm_demod(y2_head.reshape(B, -1),
+                                    fast=self.fast_atan2)     # [B, nd]
+        head_audio = outf.head_only(d_head[:, : outf.Wh])     # [B, H]
+        parts = [head_audio]
+        if g["a_p"] > outf.H:
+            span = g["a_p"] - outf.H
+            y = outf.taps[0] * d_head[:, outf.H: outf.H + span]
+            for d in range(1, outf.D + 1):
+                y = y + outf.taps[d] * d_head[:, outf.H + d:
+                                              outf.H + d + span]
+            parts.append(y)
+        audio = audio.at[:, 0, : g["a_p"]].set(
+            jnp.concatenate(parts, axis=-1))
+
+        # --- tail: stationary recompute + the y-coupling tail add ---------
+        # y1 on the last m1t pairs (stationary; zero past block end)
+        m1t, pt, tc2, at = g["m1t"], g["pt"], g["tc2"], g["at"]
+        xt = tail_pairs[:, -(m1t + dc.Dc):] if m1t + dc.Dc <= \
+            tail_pairs.shape[1] else tail_pairs
+        xt_p = jnp.pad(xt, ((0, 0), (0, dc.Dc), (0, 0)))
+        span1 = xt.shape[1]
+        y1t = dc.taps[0] * xt
+        for d in range(1, dc.Dc + 1):
+            y1t = y1t + dc.taps[d] * xt_p[:, d: d + span1]
+        y1t = (y1t + dc.c_int)[:, -m1t:]                      # [B, m1t, 2]
+        # y2 on the last pt pairs
+        y1t_p = jnp.pad(y1t, ((0, 0), (0, inf.Dc), (0, 0)))
+        y2t = inf.taps[0] * y1t[:, -pt:]
+        for d in range(1, inf.Dc + 1):
+            y2t = y2t + inf.taps[d] * y1t_p[:, m1t - pt + d:
+                                            m1t - pt + d + pt]
+        y2t = y2t + inf.c_int
+        add_t = jnp.einsum("plk,...k->...pl", inf.yc_tail,
+                           dc_over_flat).astype(self.dtype)
+        y_tail_add, over_add = add_t[:, :tc2], add_t[:, tc2:]
+        y2t = jnp.concatenate(
+            [y2t[:, : pt - tc2], y2t[:, pt - tc2:] + y_tail_add], axis=1)
+        d_tail = demod_ops.fm_demod(y2t.reshape(B, -1),
+                                    fast=self.fast_atan2)     # [B, at]
+        d_tail_p = jnp.pad(d_tail, ((0, 0), (0, outf.D)))
+        ya = outf.taps[0] * d_tail
+        for d in range(1, outf.D + 1):
+            ya = ya + outf.taps[d] * d_tail_p[:, d: d + at]
+        audio = audio.at[:, -1, 128 - at:].set(ya)
+
+        # --- audio y-coupling from the in-stage overrun --------------------
+        if g["hy"]:
+            in_over = inf.over_only(y1_head, y1t) + over_add  # [B, Kc2, 2]
+            add = jnp.einsum(
+                "hk,...k->...h", outf.y_coup,
+                in_over.reshape(B, -1).astype(f64)).astype(self.dtype)
+            audio = audio.at[:, 0, : g["hy"]].add(add)
+        return state, audio
+
+    def fused_call_q2l(self, state: PipelineState, raw: jax.Array,
+                       interpret: bool = False):
+        """Flat uint8 wrapper of fused_call_q2l_u32_3d."""
+        n = self.cfg.buf_size
+        lead = raw.shape[:-1]
+        rows = (n // 4) // 128
+        u32 = jax.lax.bitcast_convert_type(
+            raw.reshape(-1, n // 4, 4), jnp.uint32).reshape(-1, rows, 128)
+        state, audio = self.fused_call_q2l_u32_3d(state, u32,
+                                                  interpret=interpret)
+        return state, audio.reshape(*lead, n >> 2)
+
     # -- continuous profile (BASELINE config 3) ---------------------------
     @property
     def halo_pairs(self) -> int:
@@ -471,6 +640,8 @@ class BlockPipeline:
             return self.fused_call(state, raw)
         if cfg.demod_mode() != 0 and self._use_fused_inlpf():
             return self.fused_call_inlpf(state, raw)
+        if cfg.demod_mode() != 0 and self._use_fused_q2l():
+            return self.fused_call_q2l(state, raw)
         if cfg.demod_mode() == 0:
             x = cond_ops.normalize_input(raw, self.dtype)
             pairs = x.reshape(*x.shape[:-1], n // 2, 2)

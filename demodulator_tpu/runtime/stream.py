@@ -224,7 +224,7 @@ class ShardedStreamProcessor:
 
     def __init__(self, cfg: DemodConfig, n_time: int | None = None,
                  fast_atan2: bool = False, blocks_per_shard: int = 2,
-                 mesh=None, inflight: int = 2):
+                 mesh=None, inflight: int = 2, shared_output: bool = False):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.mesh import make_demod_mesh, TIME_AXIS
@@ -252,6 +252,7 @@ class ShardedStreamProcessor:
         self._u32_spec = P(None, TIME_AXIS, None, None)
         self._u32_sh = NamedSharding(self.mesh, self._u32_spec)
         self._jax = jax
+        self.shared_output = shared_output
         self.n_proc = jax.process_count()
         if self.n_proc > 1:
             # this process's contiguous time-block range within a chunk
@@ -276,13 +277,6 @@ class ShardedStreamProcessor:
             from ..parallel.distributed import replicated_chunk
             return replicated_chunk(self.mesh, arr_np, sharding.spec)
         return self._jax.device_put(arr_np, sharding)
-
-    def _gather_audio(self, audio) -> np.ndarray:
-        if self.n_proc > 1:
-            from jax.experimental import multihost_utils
-            return np.asarray(multihost_utils.process_allgather(
-                audio, tiled=True))
-        return np.asarray(audio)
 
     def _step(self, off_g, chunk_np: np.ndarray,
               next_blk: np.ndarray | None):
@@ -439,14 +433,26 @@ class ShardedStreamProcessor:
     def _run_multihost(self, fin, fout, off_np, blocks, byte_offset,
                        tail_policy, metrics, checkpoint_path,
                        ck_every_chunks):
-        """Every process reads only its own block ranges; process 0 writes.
+        """Every process reads only its own block ranges (per-process pread).
 
         The chunk schedule is derived from the file size so all processes
-        agree on the collective sequence without coordination."""
+        agree on the collective sequence without coordination.
+
+        The step loop keeps the same ``inflight`` window as the single-host
+        path: reads for chunk c+1 overlap device compute of chunk c (the
+        reference's producer thread scaled out, src/main.c:58-98).  Output:
+        by default the audio is replicated with ONE async-dispatched
+        all_gather and process 0 writes; with ``shared_output=True`` the
+        gather disappears entirely — every process pwrites its own time
+        shards into the (shared-filesystem) output file at their exact
+        byte offsets, so output DCN traffic is zero instead of N× the
+        audio."""
         import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from ..models.nbfm import PipelineState
         out_dtype = self.cfg.np_dtype()
         bb = self.block_bytes
+        out_blk = (bb // 4) * np.dtype(out_dtype).itemsize
         fd = fin.fileno()
         total_bytes = os.fstat(fd).st_size
         avail = max(0, total_bytes - byte_offset)
@@ -471,6 +477,11 @@ class ShardedStreamProcessor:
         off_g = self._put_rep(off_np, self._off_sh)
         writer = fout if jax.process_index() == 0 else None
         done_chunks = 0
+        shared = self.shared_output and fout is not None
+        out_base = fout.tell() if shared else 0
+        rep = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(self.mesh, P(None, None, None)))
 
         def ckpt(n_blocks_done, off_host):
             if checkpoint_path and jax.process_index() == 0:
@@ -480,6 +491,31 @@ class ShardedStreamProcessor:
                     byte_offset=byte_offset + n_blocks_done * bb,
                     blocks=blocks, cfg=self.cfg)
 
+        pending: list = []  # (chunk_idx, audio handle, off handle)
+
+        def drain_one():
+            nonlocal blocks, done_chunks
+            c, audio, off_h = pending.pop(0)
+            if self.shared_output:
+                if fout is not None:
+                    ofd = fout.fileno()
+                    for shard in audio.addressable_shards:
+                        sl = shard.index[1]
+                        start = sl.start or 0
+                        data = np.asarray(shard.data, dtype=out_dtype)
+                        os.pwrite(ofd, data.tobytes(),
+                                  out_base + (c * self.NB + start) * out_blk)
+            elif writer is not None:
+                writer.write(np.asarray(audio.addressable_data(0),
+                                        dtype=out_dtype).tobytes())
+            blocks += self.NB
+            done_chunks += 1
+            if metrics is not None and jax.process_index() == 0:
+                for _ in range(self.NB):
+                    metrics.block_done()
+            if done_chunks % ck_every_chunks == 0:
+                ckpt(done_chunks * self.NB, np.asarray(off_h))
+
         for c in range(n_chunks):
             local = read_blocks(c * self.NB + self._blk_lo,
                                 self._blk_hi - self._blk_lo)
@@ -488,17 +524,20 @@ class ShardedStreamProcessor:
                         if self.continuous and nxt_idx < n_blocks_total
                         else None)
             off_g, audio = self._step(off_g, local, next_blk)
-            audio_h = self._gather_audio(audio)
-            if writer is not None:
-                writer.write(np.asarray(audio_h, dtype=out_dtype).tobytes())
-            blocks += self.NB
-            done_chunks += 1
-            if metrics is not None and writer is not None:
-                for _ in range(self.NB):
-                    metrics.block_done()
-            if done_chunks % ck_every_chunks == 0:
-                ckpt(done_chunks * self.NB, np.asarray(off_g))
+            # async: the gather (a collective — every process dispatches it;
+            # none at all in shared mode) is dispatched now and materialized
+            # at drain time, so it overlaps the next chunk's pread + step
+            pending.append((c, audio if self.shared_output else rep(audio),
+                            off_g))
+            if len(pending) >= self.inflight:
+                drain_one()
+        while pending:
+            drain_one()
         n_done = done_chunks * self.NB
+        if shared and writer is not None:
+            # position p0's stream cursor after the pwritten region so the
+            # tail path can append sequentially
+            fout.seek(out_base + n_done * out_blk)
         part = avail - n_blocks_total * bb
         n_tail = tail_n + (1 if tail_policy == "pad" and part else 0)
         if n_tail and writer is not None:
@@ -533,15 +572,19 @@ class StreamProcessor:
     """
 
     def __init__(self, cfg: DemodConfig, fast_atan2: bool = False,
-                 inflight: int = 2, pipeline=None, use_native: bool = True):
+                 inflight: int = 2, pipeline=None, use_native: bool = True,
+                 backend: str = "auto"):
         """``pipeline`` overrides the NBFM BlockPipeline with any per-block
         model exposing init_state() / __call__(state, raw) / block_bytes
-        (e.g. models.wbfm.WbfmPipeline)."""
+        (e.g. models.wbfm.WbfmPipeline).  ``backend``: 'auto' | 'fused' |
+        'xla' — forwarded to BlockPipeline (the regression harness toggles
+        it to catch per-backend perf cliffs, tools/bench_regression.py)."""
         import jax
         self.cfg = cfg
         self._continuous = False
         if pipeline is None:
-            self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2)
+            self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2,
+                                      backend=backend)
             self.block_bytes = cfg.buf_size
             if cfg.profile == "continuous":
                 # carry-state continuous filtering: conditioning stays
@@ -568,6 +611,14 @@ class StreamProcessor:
             elif self.pipe._use_fused_inlpf():
                 # -L configs: whole chain fused, same zero-copy 3-D feed
                 f32c = jax.jit(self.pipe.fused_call_inlpf_u32_3d,
+                               donate_argnums=(0,))
+                rows = (cfg.buf_size // 4) // 128
+                self.fn = lambda st, raw: f32c(
+                    st, np.ascontiguousarray(raw).view(np.uint32)
+                    .reshape(1, rows, 128))
+            elif self.pipe._use_fused_q2l():
+                # -q2 -L combined: both complex stages fused in one kernel
+                f32c = jax.jit(self.pipe.fused_call_q2l_u32_3d,
                                donate_argnums=(0,))
                 rows = (cfg.buf_size // 4) // 128
                 self.fn = lambda st, raw: f32c(

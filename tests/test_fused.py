@@ -217,3 +217,53 @@ def test_fused_q1_matches_xla_and_chains_state():
         outs.append(np.asarray(a1).reshape(1, -1))
     seq = np.concatenate(outs)
     assert snr_db(got.ravel(), seq.ravel()) > 125.0
+
+
+@pytest.mark.parametrize("deg,m", [(3, 0), (2, 1), (5, 0), (8, 2)])
+def test_fused_q2l_matches_xla(deg, m):
+    """-q2 combined with -L: BOTH complex stages (highpassDc then the input
+    lowpass, src/matrix.c:142-157 + 253-266) fused into one kernel pass,
+    vs the XLA path, interpret mode.  Tight SNR, bit-exact audio head
+    (same dense f64 patch code), and the tail region must carry the
+    dc-overrun y-coupling (ops.fir yc_tail) the kernel can't see."""
+    import jax.numpy as jnp
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=6500.0,
+                      lowpass_in=12500.0, in_filter_degree=deg, buf_size=BUF)
+    cfg.mode |= (2 << 2) | (m & 3)
+    pipe = BlockPipeline(cfg, fast_atan2=True, backend="xla")
+    assert pipe.fused_q2l_eligible()
+    assert not pipe.fused_inlpf_eligible()  # two stages → not the 1-stage path
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, size=(2, BUF), dtype=np.uint8)
+    st = pipe.init_state((2,))
+    _, want = pipe(st, raw)
+    _, got = pipe.fused_call_q2l(st, jnp.asarray(raw), interpret=True)
+    w, g = np.asarray(want), np.asarray(got)
+    assert snr_db(w.ravel(), g.ravel()) > 110.0
+    H = pipe.out_fir.H
+    np.testing.assert_array_equal(g[:, :H], w[:, :H])
+    # tail: the y-coupling patch region must match the XLA path tightly
+    at = pipe._q2l_geometry()["at"]
+    assert snr_db(w[:, -at:].ravel(), g[:, -at:].ravel()) > 100.0
+
+
+def test_fused_q2l_vs_c_binary(ref_binary):
+    """Fused -q2 -L chain (interpret) vs the real C binary end-to-end."""
+    from tests.conftest import run_reference
+    from demodulator_tpu.config import config_from_cli_opts
+    rng = np.random.default_rng(12)
+    iq = rng.integers(0, 256, 3 * BUF, dtype=np.uint8)
+    args = ["-S", "192000", "-l", "6500", "-L", "12500", "-q", "2",
+            "-b", "-6"]
+    ref = run_reference(ref_binary, iq.tobytes(), args)
+    cfg = config_from_cli_opts({"S": "192000", "l": "6500", "L": "12500",
+                                "q": "2", "b": "-6"})
+    pipe = BlockPipeline(cfg, backend="xla")
+    assert pipe.fused_q2l_eligible()
+    st = pipe.init_state((3,))
+    import jax.numpy as jnp
+    _, got = pipe.fused_call_q2l(st, jnp.asarray(iq.reshape(3, BUF)),
+                                 interpret=True)
+    mine = np.asarray(got).ravel()
+    n = 2 * (BUF // 4)  # deterministic non-final blocks
+    assert snr_db(ref[:n], mine[:n]) > 110.0
