@@ -36,7 +36,9 @@ def parse_args(argv):
               "checkpoint": None, "checkpoint_every": "64", "resume": False,
               "metrics": False, "trace": None,
               "bank": None, "channel_rate": "192000",
-              "shard_time": None, "distributed": False}
+              "shard_time": None, "shard_chan": None,
+              "distributed": False, "shared_out": False, "backend": "auto",
+              "block_seconds": None}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -52,10 +54,13 @@ def parse_args(argv):
             extras["metrics"] = True
         elif a == "--distributed":
             extras["distributed"] = True
+        elif a == "--shared-out":
+            extras["shared_out"] = True
         elif a in ("--profile", "--precision", "--tail", "--iq-rate",
                    "--audio-rate", "--deviation", "--deemphasis",
                    "--checkpoint", "--checkpoint-every", "--trace",
-                   "--bank", "--channel-rate", "--shard-time"):
+                   "--bank", "--channel-rate", "--shard-time",
+                   "--shard-chan", "--backend", "--block-seconds"):
             i += 1
             if i >= len(argv):
                 raise SystemExit(f"option {a} requires an argument")
@@ -130,11 +135,25 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
                              lowpass_out=cfg.lowpass_out,
                              out_filter_degree=cfg.out_filter_degree,
                              out_filter_family=cfg.out_filter_family(),
-                             epsilon=cfg.epsilon)
+                             epsilon=cfg.epsilon,
+                             block_seconds=float(extras["block_seconds"])
+                             if extras["block_seconds"] else 0.0)
     import jax
     pipe = ChannelBankPipeline(bcfg)
-    fn = jax.jit(pipe.__call__)
     state = pipe.init_state()
+    if extras["shard_chan"]:
+        # DP over the channel axis (SURVEY.md §2.10): LUTs + per-channel
+        # state placed over the mesh's chan axis; the per-channel stages
+        # then run SPMD with zero communication (channel_bank.shard_over)
+        nc = int(extras["shard_chan"])
+        if len(offsets) % nc:
+            print("--shard-chan must divide the channel count",
+                  file=sys.stderr)
+            return -1
+        from .parallel.mesh import make_demod_mesh
+        mesh = make_demod_mesh(n_time=1, n_chan=nc)
+        state, _ = pipe.shard_over(mesh, state)
+    fn = jax.jit(pipe.__call__)
     blocks = 0
     byte_offset = 0
     ck = extras["checkpoint"]
@@ -264,14 +283,30 @@ def main(argv=None) -> int:
             cfg.num_channels = 1
             sproc = ShardedStreamProcessor(
                 cfg, n_time=int(extras["shard_time"]),
-                fast_atan2=extras["fast_atan2"])
+                fast_atan2=extras["fast_atan2"],
+                shared_output=extras["shared_out"]
+                and jax.process_count() > 1)
             if jax.process_count() > 1:
                 if "-" in iarg:
                     print("--distributed ingest requires a file -i "
                           "(each host reads its own block ranges)",
                           file=sys.stderr)
                     return -1
-                if jax.process_index() != 0:
+                if extras["shared_out"]:
+                    # every process pwrites its own time shards into ONE
+                    # shared-filesystem output file (zero output DCN
+                    # traffic); non-zero processes must NOT truncate it
+                    if "-" in oarg:
+                        print("--shared-out requires a file -o",
+                              file=sys.stderr)
+                        return -1
+                    if jax.process_index() != 0:
+                        if fout is not None:
+                            fout.close()
+                        ofd = _os.open(oarg, _os.O_WRONLY | _os.O_CREAT,
+                                       0o644)
+                        fout = _os.fdopen(ofd, "wb")
+                elif jax.process_index() != 0:
                     # only process 0 writes the output stream
                     if fout is not None and fout is not sys.stdout.buffer:
                         fout.close()
@@ -293,11 +328,14 @@ def main(argv=None) -> int:
             wcfg = WbfmConfig(sample_rate=float(extras["iq_rate"]),
                               audio_rate=float(extras["audio_rate"]),
                               deviation=float(extras["deviation"]),
-                              deemphasis_us=float(extras["deemphasis"]))
+                              deemphasis_us=float(extras["deemphasis"]),
+                              block_seconds=float(extras["block_seconds"])
+                              if extras["block_seconds"] else 0.0)
             proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg))
             run_kw["tail_policy"] = extras["tail"] or "drop"
         else:
-            proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"])
+            proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"],
+                                   backend=extras["backend"])
         if extras["metrics"]:
             from .utils.metrics import StreamMetrics
             run_kw["metrics"] = StreamMetrics(proc.block_bytes,

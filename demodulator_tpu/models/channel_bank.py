@@ -53,7 +53,10 @@ class ChannelBankConfig:
     out_filter_family: int = 0           # 0 Butterworth, 1 Cheby-I
     epsilon: float = 0.3
     atten_db: float = 70.0
-    block_seconds: float = 0.01
+    # 0 ⇒ backend-resolved: 0.01 s on CPU (fast tests), 0.25 s on TPU —
+    # below ~1 Mcomplex per dispatch the per-op fixed costs dominate
+    # (see models/wbfm.py block_seconds note)
+    block_seconds: float = 0.0
     # "auto": polyphase FFT filterbank when every offset sits on the k·fs/C
     # grid (C = fs/channel_rate) — ~50× cheaper than per-channel mixing;
     # "mixer": force the arbitrary-offset mix+decimate path; "pfb": force
@@ -69,6 +72,12 @@ class ChannelBankConfig:
             raise ValueError("sample_rate must be an integer multiple of "
                              "channel_rate")
         return int(round(d))
+
+    def resolved_block_seconds(self) -> float:
+        if self.block_seconds:
+            return self.block_seconds
+        import jax
+        return 0.25 if jax.default_backend() in ("tpu", "axon") else 0.01
 
 
 class ChannelBankState(NamedTuple):
@@ -106,7 +115,7 @@ class ChannelBankPipeline:
         # block geometry: wideband complex samples per block — multiple of
         # D with an even channel-rate count (discriminator pairs)
         unit = 2 * D
-        target = int(cfg.block_seconds * fs)
+        target = int(cfg.resolved_block_seconds() * fs)
         self.block_complex = max(unit, (target // unit) * unit)
         self.block_bytes = 2 * self.block_complex
         T = self.block_complex

@@ -52,7 +52,18 @@ class WbfmConfig:
     audio_cutoff: float = 15000.0
     atten_db: float = 80.0
     conditioning: str = "shift"      # "shift" | "normalize"
-    block_seconds: float = 0.1       # target block duration
+    # target block duration; 0 ⇒ backend-resolved default: 0.1 s on CPU
+    # (fast tests), 2.0 s on TPU — the per-dispatch fixed costs (op launch,
+    # small-tensor relayouts) dominate below ~1 Mcomplex per block, so
+    # bigger device blocks are the difference between ~0.25 and >2.5 Gsps
+    # per chip (BENCH_MATRIX wbfm row)
+    block_seconds: float = 0.0
+
+    def resolved_block_seconds(self) -> float:
+        if self.block_seconds:
+            return self.block_seconds
+        import jax
+        return 2.0 if jax.default_backend() in ("tpu", "axon") else 0.1
 
     def resolved_quad_rate(self) -> float:
         if self.quad_rate:
@@ -126,7 +137,7 @@ class WbfmPipeline:
         # block geometry: complex samples per block such that every stage
         # yields a static, integral output length
         unit = self._block_unit()
-        target = int(cfg.block_seconds * fs)
+        target = int(cfg.resolved_block_seconds() * fs)
         self.block_complex = max(unit, (target // unit) * unit)
         self.block_bytes = 2 * self.block_complex
         q_len = self.block_complex * self.chan.L // self.chan.M

@@ -168,3 +168,56 @@ def test_two_process_global_mesh(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{err[-3000:]}"
         assert "OK" in out
+
+
+def test_two_process_cli_shared_out(tmp_path):
+    """--shared-out: both processes pwrite their OWN time shards into one
+    shared output file (zero output DCN traffic — no gather at all);
+    result must be byte-identical to the single-process run."""
+    import numpy as np
+    import pathlib
+    import shutil
+    import tempfile
+    port = _free_port()
+    rng = np.random.default_rng(23)
+    data = rng.integers(0, 256, 19 * 4096, dtype=np.uint8).tobytes()
+    tmp_path = pathlib.Path(tempfile.mkdtemp(prefix="distshared", dir="/tmp"))
+    src = tmp_path / "iq.dat"
+    src.write_bytes(data)
+    args = ["-S", "192000", "-l", "12500", "-b", "-6",
+            "--shard-time", "4"]
+
+    env1 = {k: v for k, v in os.environ.items()
+            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env1.update(JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env1.pop("PALLAS_AXON_POOL_IPS", None)
+    single = tmp_path / "single.raw"
+    r = subprocess.run([sys.executable, "-m", "demodulator_tpu",
+                        "-i", str(src), "-o", str(single), *args],
+                       capture_output=True, env=env1, cwd=REPO)
+    assert r.returncode == 0, r.stderr.decode()
+
+    shared = tmp_path / "shared.raw"
+    procs = []
+    for p in (0, 1):
+        env = dict(env1)
+        env.update(XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                   DEMODULATOR_TPU_COORDINATOR=f"localhost:{port}",
+                   DEMODULATOR_TPU_NUM_PROCESSES="2",
+                   DEMODULATOR_TPU_PROCESS_ID=str(p))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "demodulator_tpu", "-i", str(src),
+             "-o", str(shared), "--distributed", "--shared-out", *args],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE))
+    for p, proc in enumerate(procs):
+        try:
+            _, err = proc.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed CLI worker timed out")
+        assert proc.returncode == 0, f"worker {p}:\n{err.decode()[-3000:]}"
+    assert shared.read_bytes() == single.read_bytes()
+    shutil.rmtree(tmp_path, ignore_errors=True)

@@ -26,11 +26,23 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
-    # name → CLI args (BASELINE.json config shapes)
+    # name → CLI args (BASELINE.json config shapes).  "{d}" expands to the
+    # run's temp dir.  The *_xla rows force the unfused backend and the
+    # _fast/_fused rows the Pallas one, so a regression in EITHER backend
+    # path shows as a diff (the reference's compiler×flag matrix analog,
+    # test.sh:83-86, oldTest.sh:122-166).
     "nbfm": ["-S", "96000", "-l", "12500"],
+    "nbfm_fast": ["-S", "96000", "-l", "12500", "--fast-atan2"],
+    "nbfm_xla": ["-S", "96000", "-l", "12500", "--backend", "xla"],
     "nbfm_inlpf": ["-S", "96000", "-L", "12500", "-l", "6500"],
+    "nbfm_inlpf_xla": ["-S", "96000", "-L", "12500", "-l", "6500",
+                       "--backend", "xla"],
+    "nbfm_q2l": ["-S", "96000", "-L", "12500", "-l", "6500", "-q", "2"],
     "nbfm_cheby": ["-S", "96000", "-l", "6500", "-m", "1", "-e", "2"],
     "nbfm_correctiq": ["-S", "96000", "-l", "12500", "-q", "1"],
+    "nbfm_checkpointed": ["-S", "96000", "-l", "12500",
+                          "--checkpoint", "{d}/ck.npz",
+                          "--checkpoint-every", "64"],
 }
 
 
@@ -66,7 +78,8 @@ def main(argv=None) -> int:
         data.tofile(src)
         for name in names:
             dst = os.path.join(d, f"{name}.raw")
-            times = [run_once(src, dst, CONFIGS[name])
+            cfg_args = [a.replace("{d}", d) for a in CONFIGS[name]]
+            times = [run_once(src, dst, cfg_args)
                      for _ in range(args.repeats)]
             best = min(times)
             print(json.dumps({
