@@ -113,7 +113,8 @@ def _flagship(fast_atan2, q=0, B=256):
 
 
 def _inlpf(q=0, lowpass_in=True, B=256):
-    """Fused -L / -q2 chain (complex FIR stage inside the kernel)."""
+    """Fused -L / -q2 / combined -q2 -L chains (complex FIR stage(s)
+    inside the kernel)."""
     import jax
     import jax.numpy as jnp
     from demodulator_tpu.config import DemodConfig
@@ -129,11 +130,13 @@ def _inlpf(q=0, lowpass_in=True, B=256):
     rng = np.random.default_rng(1)
     raw_np = rng.integers(0, 256, size=(B, n), dtype=np.uint8)
     state = pipe.init_state()
-    if pipe._use_fused_inlpf():
+    if pipe._use_fused_inlpf() or pipe._use_fused_q2l():
+        call = (pipe.fused_call_inlpf_u32_3d if pipe._use_fused_inlpf()
+                else pipe.fused_call_q2l_u32_3d)
         raw = jax.device_put(raw_np.view(np.uint32).reshape(B, rows, 128))
 
         def body(i, x):
-            audio = pipe.fused_call_inlpf_u32_3d(state, x)[1]
+            audio = call(state, x)[1]
             return jax.lax.bitcast_convert_type(audio, jnp.uint32)
     else:
         raw = jax.device_put(raw_np)
@@ -383,6 +386,7 @@ MATRIX = [
     ("nbfm_q1_correctiq", _q1),
     ("nbfm_q2_dcblock_fused", lambda: _inlpf(q=2, lowpass_in=False)),
     ("nbfm_inlpf_fused", lambda: _inlpf(q=0, lowpass_in=True)),
+    ("nbfm_q2_inlpf_fused", lambda: _inlpf(q=2, lowpass_in=True)),
     ("nbfm_f64", _f64),
     ("wbfm_2p4msps", _wbfm),
     ("channel_bank_8ch", _bank),

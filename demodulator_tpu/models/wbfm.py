@@ -53,17 +53,18 @@ class WbfmConfig:
     atten_db: float = 80.0
     conditioning: str = "shift"      # "shift" | "normalize"
     # target block duration; 0 ⇒ backend-resolved default: 0.1 s on CPU
-    # (fast tests), 2.0 s on TPU — the per-dispatch fixed costs (op launch,
+    # (fast tests), 1.0 s on TPU — the per-dispatch fixed costs (op launch,
     # small-tensor relayouts) dominate below ~1 Mcomplex per block, so
-    # bigger device blocks are the difference between ~0.25 and >2.5 Gsps
-    # per chip (BENCH_MATRIX wbfm row)
+    # bigger device blocks are the difference between ~0.27 and >20 Gsps
+    # per chip (measured on v5e: 0.1 s → 266 Msps, 1.0 s → 22.3 Gsps,
+    # 2.0 s → 13.3 Gsps; BENCH_MATRIX wbfm row)
     block_seconds: float = 0.0
 
     def resolved_block_seconds(self) -> float:
         if self.block_seconds:
             return self.block_seconds
         import jax
-        return 2.0 if jax.default_backend() in ("tpu", "axon") else 0.1
+        return 1.0 if jax.default_backend() in ("tpu", "axon") else 0.1
 
     def resolved_quad_rate(self) -> float:
         if self.quad_rate:
