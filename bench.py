@@ -226,7 +226,10 @@ def _wbfm():
 
 
 def _bank(n_chan=8):
-    """Polyphase channel bank: n_chan NBFM channels from one wide stream."""
+    """Polyphase channel bank: n_chan NBFM channels from one wide stream.
+    Fed as the u16 view (one u16 per complex sample), matching the CLI's
+    zero-copy host view — a device-side u8 dynamic slice into the u8→u16
+    bitcast costs ~400 µs/block of pure relayout (call_u16 docstring)."""
     import jax
     from demodulator_tpu.models.channel_bank import (ChannelBankConfig,
                                                      ChannelBankPipeline)
@@ -237,12 +240,13 @@ def _bank(n_chan=8):
         lowpass_out=12500.0))
     T = pipe.block_complex
     rng = np.random.default_rng(5)
-    base = jax.device_put(rng.integers(0, 256, size=4 * T, dtype=np.uint8))
+    base = jax.device_put(rng.integers(0, 1 << 16, size=2 * T,
+                                       dtype=np.uint16))
     st0 = pipe.init_state()
 
     def body(i, st):
-        x = jax.lax.dynamic_slice(base, (2 * ((i * 997) % T),), (2 * T,))
-        st, _ = pipe(st, x)
+        x = jax.lax.dynamic_slice(base, ((i * 997) % T,), (T,))
+        st, _ = pipe.call_u16(st, x)
         return st
     return body, st0, T, 2 * T + n_chan * (T // (fs // 96000.0) * 4)
 

@@ -153,7 +153,7 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
         from .parallel.mesh import make_demod_mesh
         mesh = make_demod_mesh(n_time=1, n_chan=nc)
         state, _ = pipe.shard_over(mesh, state)
-    fn = jax.jit(pipe.__call__)
+    fn = jax.jit(pipe.call_u16)
     blocks = 0
     byte_offset = 0
     ck = extras["checkpoint"]
@@ -178,9 +178,12 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
                              offset=byte_offset)
         done = 0  # blocks since (re)start — byte_offset already covers the rest
         for raw in reader:
-            state, audio = fn(state, raw)
+            # zero-copy u16 view of the block (low byte = I): skips the
+            # device-side u8→u16 bitcast relayout (models/channel_bank.py
+            # call_u16 docstring)
+            u16 = np.ascontiguousarray(raw).view(np.uint16)
+            state, audio = fn(state, u16)
             audio = np.asarray(audio, dtype=np.float32)
-            state_h = jax.tree.map(np.asarray, state)
             for c, f in enumerate(outs):
                 f.write(audio[c].tobytes())
             done += 1
@@ -188,6 +191,9 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
             if metrics is not None:
                 metrics.block_done()
             if ck and done % ck_every == 0:
+                # materialize device state only at checkpoint boundaries
+                # (a per-block sync would serialize dispatch)
+                state_h = jax.tree.map(np.asarray, state)
                 from .runtime.checkpoint import save_checkpoint
                 save_checkpoint(ck, state_h,
                                 byte_offset=byte_offset

@@ -191,12 +191,25 @@ class ChannelBankPipeline:
     def __call__(self, state: ChannelBankState, raw: jax.Array):
         """raw: uint8 [block_bytes] → (state, audio [C, audio_per_block])."""
         assert raw.shape[-1] == self.block_bytes
-        if self.method == "pfb":
-            return self._call_pfb(state, raw)
-        T = self.block_complex
-        # u16-bitcast deinterleave+condition (a strided slice is an 876 µs
-        # GATHER per block on v5e — see cond_ops.split_iq)
         xi, xq = cond_ops.split_iq(raw, self.dtype)
+        if self.method == "pfb":
+            return self._forward_pfb(state, xi, xq)
+        return self._forward_mixer(state, xi, xq)
+
+    def call_u16(self, state: ChannelBankState, u16: jax.Array):
+        """Fast entry: u16 [block_complex] = the raw bytes host-viewed as
+        uint16 (numpy ``.view(np.uint16)`` — zero-copy; low byte = I).  The
+        elementwise unpack replaces __call__'s device-side u8→u16 bitcast,
+        which costs ~400 µs per 384k-sample block when the input is itself
+        a device-side slice (dominating the whole step — measured v5e)."""
+        assert u16.shape[-1] == self.block_complex
+        xi, xq = cond_ops.split_iq_u16(u16, self.dtype)
+        if self.method == "pfb":
+            return self._forward_pfb(state, xi, xq)
+        return self._forward_mixer(state, xi, xq)
+
+    def _forward_mixer(self, state, xi, xq):
+        T = self.block_complex
         if self.mixer_framed:
             # frame the (small, pre-expansion) conditioned signal once;
             # every stage up to the decimation dot then stays in the
@@ -210,11 +223,15 @@ class ChannelBankPipeline:
         else:
             pc, ps = state.phasor[:, :1], state.phasor[:, 1:]
 
-        # mixer: (xi + j·xq) · (lc + j·ls) · (pc + j·ps)
-        lc = self.lut_cos * pc - self.lut_sin * ps
-        ls = self.lut_sin * pc + self.lut_cos * ps
-        mi = xi * lc - xq * ls
-        mq = xi * ls + xq * lc
+        # mixer: (xi + j·xq) · (lut_c + j·lut_s) · (pc + j·ps).  The carry
+        # phasor multiplies the LUT-mixed SIGNAL, not the LUT: rotating the
+        # [C, T] LUTs per block re-materializes 2·C·T floats every step
+        # (~2× the whole step time, measured v5e).  The reassociation only
+        # reorders f32 roundings (≤1 ulp on the mixed signal)
+        ui = xi * self.lut_cos - xq * self.lut_sin          # [C, ...]
+        uq = xi * self.lut_sin + xq * self.lut_cos
+        mi = ui * pc - uq * ps
+        mq = ui * ps + uq * pc
         iq = jnp.stack([mi, mq], axis=1)
         # materialize the mixed signal: fusing the mixer multiplies into
         # the decimation dot's operand demotes it to a slow VPU conv
@@ -238,8 +255,7 @@ class ChannelBankPipeline:
         phasor = jnp.stack([npc * norm, nps * norm], axis=-1)
         return ChannelBankState(phasor, chan_hist, audio_hist), audio
 
-    def _call_pfb(self, state: ChannelBankState, raw: jax.Array):
-        xi, xq = cond_ops.split_iq(raw, self.dtype)
+    def _forward_pfb(self, state: ChannelBankState, xi, xq):
         iq = jnp.stack([xi, xq], axis=0)                    # [2, T]
         chans, chan_hist = self.pfb(iq, state.chan_hist)    # [Cgrid, 2, Tc]
         sel = jnp.take(chans, self.pfb_rows, axis=0)        # [C, 2, Tc]

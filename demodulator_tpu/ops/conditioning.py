@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["shift_origin", "normalize_input", "correct_iq", "split_iq"]
+__all__ = ["shift_origin", "normalize_input", "correct_iq", "split_iq",
+           "split_iq_u16"]
 
 
 def split_iq(raw: jax.Array, dtype=jnp.float32, kind: str = "shift"):
@@ -25,10 +26,22 @@ def split_iq(raw: jax.Array, dtype=jnp.float32, kind: str = "shift"):
     effectively free.  Little-endian byte order puts the first (I) byte in
     the low half, the same convention the fused NBFM kernel's u32 bitcast
     relies on (pinned against the C binary by the golden tests).
+
+    The bitcast is free only on a host-created buffer: when ``raw`` is a
+    device-side dynamic slice the u8→u16 retile lowers to a ~400 µs copy
+    per 384k-sample block (measured v5e).  Callers that can view the bytes
+    as uint16 host-side (numpy ``.view`` is zero-copy) should use
+    :func:`split_iq_u16` directly.
     """
     *lead, n2 = raw.shape
     u16 = jax.lax.bitcast_convert_type(
         raw.reshape(*lead, n2 // 2, 2), jnp.uint16)
+    return split_iq_u16(u16, dtype, kind)
+
+
+def split_iq_u16(u16: jax.Array, dtype=jnp.float32, kind: str = "shift"):
+    """As :func:`split_iq`, from the uint16 view: one u16 per complex
+    sample, little-endian low byte = I, high byte = Q."""
     bi = (u16 & jnp.uint16(0xFF)).astype(jnp.int32)
     bq = (u16 >> 8).astype(jnp.int32)
     if kind == "shift":

@@ -178,7 +178,11 @@ class PolyResampler:
                 ok = (j >= 0) & (j < P * M)
                 G = np.zeros((stride, chunk), np.float64)
                 G[ok] = hp[j[ok]]
-                mats.append(jnp.asarray(G, self.dtype))
+                # cache HOST constants: jnp.asarray inside a jit trace
+                # yields a tracer, and caching a tracer on self poisons
+                # every later trace (UnexpectedTracerError on the second
+                # jit that reaches framed())
+                mats.append(np.asarray(G, np.dtype(self.dtype)))
             self._framed_mats = (stride, s, hr, mats)
         return self._framed_mats
 

@@ -211,3 +211,40 @@ def test_pfb_streaming_continuity():
     _, whole = pb(pb.init_state(), raw)
     np.testing.assert_allclose(np.concatenate(outs, axis=-1),
                                np.asarray(whole), atol=3e-5)
+
+
+def test_call_u16_matches_call_mixer():
+    """call_u16 (zero-copy host u16 view, the CLI/bench entry) must be
+    numerically identical to __call__ on the raw bytes — mixer method."""
+    p = _pipe()
+    assert p.method == "mixer"
+    n = 2 * p.block_complex
+    raw = synth_bank(FS, OFFSETS, TONES, n)
+    st_a = p.init_state()
+    st_b = p.init_state()
+    for b in range(2):
+        blk = raw[b * p.block_bytes:(b + 1) * p.block_bytes]
+        st_a, ya = p(st_a, blk)
+        st_b, yb = p.call_u16(st_b, np.ascontiguousarray(blk)
+                              .view(np.uint16))
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    for a, b_ in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_call_u16_matches_call_pfb():
+    """Same equivalence on the polyphase-filterbank method (on-grid)."""
+    offs = (-384000.0, 0.0, 192000.0)
+    cfg = ChannelBankConfig(sample_rate=FS, channel_rate=CR,
+                            offsets_hz=offs, block_seconds=0.02,
+                            method="pfb")
+    p = ChannelBankPipeline(cfg)
+    raw = synth_bank(FS, offs, TONES, 2 * p.block_complex)
+    st_a = p.init_state()
+    st_b = p.init_state()
+    for b in range(2):
+        blk = raw[b * p.block_bytes:(b + 1) * p.block_bytes]
+        st_a, ya = p(st_a, blk)
+        st_b, yb = p.call_u16(st_b, np.ascontiguousarray(blk)
+                              .view(np.uint16))
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))

@@ -119,3 +119,32 @@ def test_framed_matches_flat():
         np.testing.assert_allclose(np.asarray(y_fr).reshape(2, -1),
                                    np.asarray(y_ref), atol=2e-5)
         np.testing.assert_array_equal(np.asarray(h_fr), np.asarray(h_ref))
+
+
+def test_framed_reusable_across_jit_traces():
+    """The framed-geometry cache must hold host constants: a PolyResampler
+    whose .framed first runs inside one jit trace must stay usable from a
+    second, different jit (regression: jnp constants created during the
+    first trace were cached on self and leaked as tracers)."""
+    import jax
+    import jax.numpy as jnp
+    taps = design_resampler_taps(1, 4, 192000.0, cutoff=20000.0)
+    r = PolyResampler(1, 4, taps)
+    stride = r.chunk * r.M
+    R = 3
+    x = np.random.default_rng(0).normal(size=(2, R, stride)).astype(np.float32)
+    h0 = r.init_hist((2,))
+
+    @jax.jit
+    def f1(xf, h):
+        return r.framed(xf, h)
+
+    @jax.jit
+    def f2(xf, h):  # a distinct jit → a distinct trace
+        y, hh = r.framed(xf, h)
+        return y * 2.0, hh
+
+    y1, _ = f1(jnp.asarray(x), h0)
+    y2, _ = f2(jnp.asarray(x), h0)
+    np.testing.assert_allclose(np.asarray(y2), 2.0 * np.asarray(y1),
+                               rtol=1e-6)
