@@ -329,9 +329,10 @@ def _measure_e2e(name, n_blocks=96, fast_atan2=True):
     data = rng.integers(0, 256, size=n_blocks * n, dtype=np.uint8).tobytes()
     d = "/dev/shm" if os.path.isdir("/dev/shm") else None
     with tempfile.NamedTemporaryFile(dir=d, delete=False) as f:
-        f.write(data)
         path = f.name
-    try:
+    try:  # write inside the unlinking try: no leak if the write fails
+        with open(path, "wb") as f:
+            f.write(data)
         with open(os.devnull, "wb") as devnull:
             with open(path, "rb") as fin:  # warmup: compile + cache
                 proc.run(fin, devnull)

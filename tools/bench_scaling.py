@@ -30,6 +30,106 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _parse_stream_done(stderr_text: str) -> float:
+    """msps_complex from the final stream_done metrics line."""
+    msps = None
+    for line in stderr_text.splitlines():
+        if '"stream_done"' in line:
+            msps = json.loads(line)["msps_complex"]
+    if msps is None:
+        raise RuntimeError("no stream_done metrics line in:\n"
+                           + stderr_text[-2000:])
+    return float(msps)
+
+
+def _procs_mode(args) -> int:
+    """N-process vs single-process e2e CLI throughput at the same total
+    device count (VERDICT r2 next #4 done criterion).  Uses the process-0
+    stream_done metrics (starts at pipeline construction: excludes
+    interpreter/backend startup, includes compile — each config runs twice
+    so the second run rides the persistent jit cache).  The `time` mesh
+    axis shards blocks; --shared-out removes the output gather entirely."""
+    import socket
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    total = args.procs * args.procs_devs
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, args.procs_blocks * 262144, dtype=np.uint8)
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                             "PALLAS_AXON_POOL_IPS")}
+    base_env["JAX_PLATFORMS"] = "cpu"
+
+    with tempfile.TemporaryDirectory(prefix="benchprocs", dir="/tmp") as d:
+        src = os.path.join(d, "iq.dat")
+        data.tofile(src)
+        cli = [sys.executable, "-m", "demodulator_tpu", "-i", src,
+               "-S", "192000", "-l", "12500", "--shard-time", str(total),
+               "--metrics"]
+
+        def run_single():
+            env = dict(base_env)
+            env["XLA_FLAGS"] = \
+                f"--xla_force_host_platform_device_count={total}"
+            r = subprocess.run(
+                cli + ["-o", os.path.join(d, "single.raw")],
+                capture_output=True, env=env, cwd=REPO)
+            if r.returncode != 0:
+                raise RuntimeError(r.stderr.decode()[-3000:])
+            return _parse_stream_done(r.stderr.decode())
+
+        def run_multi():
+            port = free_port()
+            procs = []
+            for p in range(args.procs):
+                env = dict(base_env)
+                env.update(
+                    XLA_FLAGS="--xla_force_host_platform_device_count="
+                              f"{args.procs_devs}",
+                    DEMODULATOR_TPU_COORDINATOR=f"localhost:{port}",
+                    DEMODULATOR_TPU_NUM_PROCESSES=str(args.procs),
+                    DEMODULATOR_TPU_PROCESS_ID=str(p))
+                procs.append(subprocess.Popen(
+                    cli + ["-o", os.path.join(d, "multi.raw"),
+                           "--distributed", "--shared-out"],
+                    env=env, cwd=REPO, stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE))
+            errs = []
+            for p, proc in enumerate(procs):
+                _, err = proc.communicate(timeout=600)
+                if proc.returncode != 0:
+                    for q in procs:
+                        q.kill()
+                    raise RuntimeError(f"worker {p}:\n"
+                                       + err.decode()[-3000:])
+                errs.append(err.decode())
+            return _parse_stream_done(errs[0])
+
+        run_single()                      # cold: fill the jit cache
+        msps_1 = run_single()
+        run_multi()
+        msps_n = run_multi()
+
+    print(json.dumps({
+        "procs": args.procs, "devices_per_proc": args.procs_devs,
+        "total_devices": total, "blocks": args.procs_blocks,
+        "backend": "cpu-virtual",
+        "msps_e2e_single_proc": round(msps_1, 1),
+        "msps_e2e_multi_proc": round(msps_n, 1),
+        "multi_frac_of_single": round(msps_n / msps_1, 3),
+    }), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--virtual", type=int, default=0,
@@ -48,7 +148,22 @@ def main(argv=None) -> int:
                          "included; time axis only) and report both numbers")
     ap.add_argument("--e2e-chunks", type=int, default=6,
                     help="chunks of NB blocks in the e2e input file")
+    ap.add_argument("--procs", type=int, default=0,
+                    help="multi-process e2e comparison: run the CLI "
+                         "single-process on procs×procs-devs virtual "
+                         "devices, then procs OS processes × procs-devs "
+                         "devices (--distributed --shared-out), and report "
+                         "both process-0 stream_done throughputs and their "
+                         "ratio (the multi-host pipelining target is the "
+                         "2-process run within ~20%% of single-process)")
+    ap.add_argument("--procs-devs", type=int, default=2,
+                    help="virtual devices per process in --procs mode")
+    ap.add_argument("--procs-blocks", type=int, default=192,
+                    help="256 KiB input blocks in --procs mode")
     args = ap.parse_args(argv)
+
+    if args.procs:
+        return _procs_mode(args)
 
     if args.virtual:
         # the axon sitecustomize pre-imports jax, so env vars are consumed
