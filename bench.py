@@ -54,8 +54,14 @@ def _timed_loop(body, carry0, n_lo=10, n_hi=70, reps=4):
             @jax.jit
             def bench(c):
                 c = jax.lax.fori_loop(0, N, body, c)
-                leaf = jax.tree.leaves(c)[0]
-                return leaf.reshape(-1)[0].astype(jnp.float32)
+                # consume EVERY carry leaf: XLA deletes dead while-loop
+                # tuple elements, so returning only one leaf lets the
+                # whole DSP chain of the others be dead-code-eliminated
+                # (state-carried pipelines measured 6× too fast that way)
+                tot = jnp.float32(0)
+                for leaf in jax.tree.leaves(c):
+                    tot += leaf.astype(jnp.float32).sum()
+                return tot
             float(bench(carry0))  # compile + warmup
             fns[N] = bench
         t0 = time.perf_counter()
@@ -216,13 +222,16 @@ def _wbfm():
                                        dtype=np.uint16))
     st0 = pipe.init_state()
 
-    def body(i, st):
+    def body(i, carry):
+        st, acc = carry
         x = jax.lax.dynamic_slice(base, ((i * 997) % T,), (T,))
-        st, _ = pipe.call_u16(st, x)
-        return st
+        st, audio = pipe.call_u16(st, x)
+        # accumulate the audio: a state-only carry lets XLA dead-code the
+        # audio chain beyond what the histories need (_timed_loop note)
+        return st, acc + audio.sum()
     out_bytes = 4 * (T * pipe.chan.L // pipe.chan.M
                      if hasattr(pipe, "chan") else T)
-    return body, st0, T, 2 * T + out_bytes
+    return body, (st0, jnp.float32(0)), T, 2 * T + out_bytes
 
 
 def _bank(n_chan=8):
@@ -231,6 +240,7 @@ def _bank(n_chan=8):
     zero-copy host view — a device-side u8 dynamic slice into the u8→u16
     bitcast costs ~400 µs/block of pure relayout (call_u16 docstring)."""
     import jax
+    import jax.numpy as jnp
     from demodulator_tpu.models.channel_bank import (ChannelBankConfig,
                                                      ChannelBankPipeline)
     fs = n_chan * 192000.0
@@ -244,11 +254,13 @@ def _bank(n_chan=8):
                                        dtype=np.uint16))
     st0 = pipe.init_state()
 
-    def body(i, st):
+    def body(i, carry):
+        st, acc = carry
         x = jax.lax.dynamic_slice(base, ((i * 997) % T,), (T,))
-        st, _ = pipe.call_u16(st, x)
-        return st
-    return body, st0, T, 2 * T + n_chan * (T // (fs // 96000.0) * 4)
+        st, audio = pipe.call_u16(st, x)
+        return st, acc + audio.sum()   # keep the audio chain live
+    return body, (st0, jnp.float32(0)), T, \
+        2 * T + n_chan * (T // (fs // 96000.0) * 4)
 
 
 def _sharded(B_per=2):
