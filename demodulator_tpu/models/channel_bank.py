@@ -144,7 +144,7 @@ class ChannelBankPipeline:
         # mixed signal otherwise costs more than the decimation dots — see
         # PolyResampler.framed); otherwise the flat path is kept.
         stride = self.chan.chunk * D
-        self.mixer_framed = (T % stride == 0)
+        self.mixer_framed = (T % stride == 0) and self.chan.chunk % 2 == 0
         n = np.arange(T, dtype=np.float64)
         fr = np.asarray(cfg.offsets_hz, np.float64)[:, None] / fs
         theta = -2.0 * np.pi * (fr * n % 1.0)
@@ -239,12 +239,17 @@ class ChannelBankPipeline:
         iq = jax.lax.optimization_barrier(iq)
 
         if self.mixer_framed:
-            yf, chan_hist = self.chan.framed(iq, state.chan_hist)
-            ciq = yf.reshape(*yf.shape[:-2], -1)            # [C, 2, Tc] tiny
+            # decimate with even/odd-split tap matrices: the discriminator
+            # pairs arrive planar with zero device-side deinterleave
+            # (ops/demod.fm_demod_split docstring)
+            ye, yo, chan_hist = self.chan.framed2(iq, state.chan_hist)
+            d = demod_ops.fm_demod_split(
+                ye[:, 0], ye[:, 1], yo[:, 0], yo[:, 1], fast=True)
+            d = d.reshape(d.shape[0], -1)                  # [C, Tc/2]
         else:
             ciq, chan_hist = self.chan(iq, state.chan_hist)
-        inter = jnp.swapaxes(ciq, -1, -2).reshape(ciq.shape[0], -1)
-        d = demod_ops.fm_demod(inter, fast=True)           # [C, Tc/2]
+            inter = jnp.swapaxes(ciq, -1, -2).reshape(ciq.shape[0], -1)
+            d = demod_ops.fm_demod(inter, fast=True)       # [C, Tc/2]
         audio, audio_hist = self.audio(d, state.audio_hist)
 
         # advance + renormalize the carry phasor (f32 drift control)

@@ -54,10 +54,9 @@ class WbfmConfig:
     conditioning: str = "shift"      # "shift" | "normalize"
     # target block duration; 0 ⇒ backend-resolved default: 0.1 s on CPU
     # (fast tests), 1.0 s on TPU — the per-dispatch fixed costs (op launch,
-    # small-tensor relayouts) dominate below ~1 Mcomplex per block, so
-    # bigger device blocks are the difference between ~0.27 and >20 Gsps
-    # per chip (measured on v5e: 0.1 s → 266 Msps, 1.0 s → 22.3 Gsps,
-    # 2.0 s → 13.3 Gsps; BENCH_MATRIX wbfm row)
+    # small-tensor relayouts) dominate below ~1 Mcomplex per block; with
+    # the framed2 front + split discriminator the 1.0 s chain measures
+    # ~9.0 Gsps per v5e chip honest (BENCH_MATRIX wbfm row)
     block_seconds: float = 0.0
 
     def resolved_block_seconds(self) -> float:
@@ -144,6 +143,20 @@ class WbfmPipeline:
         q_len = self.block_complex * self.chan.L // self.chan.M
         self.audio_per_block = (q_len // 2) * self.audio.L // self.audio.M
 
+        # framed front end + matmul-split discriminator pairs: the flat
+        # chan path pays a device-side flat→framed relayout and the
+        # interleaved discriminator a stride-2/4 lane gather (~1.6 ms per
+        # 480k samples v5e, >10× the rest of the chain); framed2 splits
+        # even/odd in the decimator's HOST tap matrices instead (free).
+        # Eligible whenever the decimator is a pure L==1 banded matmul,
+        # the block is whole frames, and outputs pair up within a frame.
+        self._stride = (self.chan.chunk * self.chan.M
+                        if self.chan.kernel is None and self.chan.L == 1
+                        else 0)
+        self._use_framed = bool(
+            self._stride and self.block_complex % self._stride == 0
+            and self.chan.chunk % 2 == 0)
+
     def _block_unit(self) -> int:
         """Smallest complex-sample count giving integral lengths everywhere."""
         c = self.chan
@@ -203,10 +216,19 @@ class WbfmPipeline:
         return self._forward(state, iq, lead)
 
     def _forward(self, state: WbfmState, iq: jax.Array, lead):
-        ciq, chan_hist = self.chan(iq, state.chan_hist)
-        # interleave back for the discriminator's pair layout
-        inter = jnp.swapaxes(ciq, -1, -2).reshape(*lead, -1)
-        d = demod_ops.fm_demod(inter, fast=True) * self.gain
+        if self._use_framed:
+            R = self.block_complex // self._stride
+            iqf = iq.reshape(*lead, 2, R, self._stride)
+            ye, yo, chan_hist = self.chan.framed2(iqf, state.chan_hist)
+            d = demod_ops.fm_demod_split(
+                ye[..., 0, :, :], ye[..., 1, :, :],
+                yo[..., 0, :, :], yo[..., 1, :, :], fast=True)
+            d = (d * self.gain).reshape(*lead, -1)
+        else:
+            ciq, chan_hist = self.chan(iq, state.chan_hist)
+            # interleave back for the discriminator's pair layout
+            inter = jnp.swapaxes(ciq, -1, -2).reshape(*lead, -1)
+            d = demod_ops.fm_demod(inter, fast=True) * self.gain
         audio, audio_hist = self.audio(d, state.audio_hist)
         if self.deemph is not None:
             audio, deemph_hist = self.deemph(audio, state.deemph_hist)

@@ -128,6 +128,7 @@ class PolyResampler:
                           for k in range(s)]
             self._hp = hp                # f64 padded taps, for framed()
             self._framed_mats = None     # built lazily by framed()
+            self._framed_mats2 = None    # built lazily by framed2()
             self.kernel = None
             return
         # General rational case: upfirdn as a dilated/strided conv.
@@ -217,6 +218,50 @@ class PolyResampler:
         tail_rows = -(-H // stride)
         tail = x_frames[..., R - tail_rows:, :].reshape(*lead, -1)
         return y, tail[..., -H:]
+
+    def framed2(self, x_frames: jax.Array, hist: jax.Array):
+        """As :meth:`framed`, but the output arrives pre-split into its
+        even and odd samples: (y_even [..., R, chunk/2], y_odd [..., R,
+        chunk/2], new_hist).  y_even[..., r, u] = y[..., r, 2u].
+
+        The split is free: the selection happens in the HOST tap matrices
+        (every other column of each G'_k), so the two half-width matmuls
+        cost exactly one full-width one.  This exists for the quadrature
+        discriminator, whose conj-product pairs consecutive decimator
+        outputs: deinterleaving the flat stream on device is a stride-2
+        lane gather XLA:TPU lowers catastrophically (~1.6 ms per 480k
+        samples, >10× the whole rest of the WBFM chain — measured v5e),
+        while the column-split costs nothing."""
+        assert self.kernel is None and self.L == 1
+        assert self.chunk % 2 == 0
+        stride, s, hr, mats = self._framed_geometry()
+        if self._framed_mats2 is None:
+            # host-side column split (np arrays: trace-safe to cache)
+            self._framed_mats2 = ([m[:, 0::2].copy() for m in mats],
+                                  [m[:, 1::2].copy() for m in mats])
+        mats_e, mats_o = self._framed_mats2
+        *lead, R, st = x_frames.shape
+        assert st == stride, (st, stride)
+        H = self.hist_len
+        hist_rows = jnp.pad(
+            hist, [*[(0, 0)] * (hist.ndim - 1), (hr * stride - H, 0)]
+        ).reshape(*lead, hr, stride)
+        xr = jnp.concatenate([hist_rows, x_frames], axis=-2)
+        ye = yo = None
+        for k in range(s):
+            ze = jnp.einsum("...rw,wu->...ru", xr, mats_e[k],
+                            precision=self.precision,
+                            preferred_element_type=self.dtype)
+            zo = jnp.einsum("...rw,wu->...ru", xr, mats_o[k],
+                            precision=self.precision,
+                            preferred_element_type=self.dtype)
+            zke = jax.lax.slice_in_dim(ze, hr - k, hr - k + R, axis=-2)
+            zko = jax.lax.slice_in_dim(zo, hr - k, hr - k + R, axis=-2)
+            ye = zke if ye is None else ye + zke
+            yo = zko if yo is None else yo + zko
+        tail_rows = -(-H // stride)
+        tail = x_frames[..., R - tail_rows:, :].reshape(*lead, -1)
+        return ye, yo, tail[..., -H:]
 
     def __call__(self, x: jax.Array, hist: jax.Array):
         """x: [..., T] → (y [..., T·L/M], new_hist [..., hist_len])."""

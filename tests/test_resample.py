@@ -148,3 +148,23 @@ def test_framed_reusable_across_jit_traces():
     y2, _ = f2(jnp.asarray(x), h0)
     np.testing.assert_allclose(np.asarray(y2), 2.0 * np.asarray(y1),
                                rtol=1e-6)
+
+
+def test_framed2_matches_framed():
+    """framed2's even/odd outputs interleave back to framed's output (the
+    column split happens in the host tap matrices; the half-width matmuls
+    may reduce in a different order, so ~1-ulp tolerance)."""
+    import jax.numpy as jnp
+    taps = design_resampler_taps(1, 4, 192000.0, cutoff=20000.0)
+    r = PolyResampler(1, 4, taps)
+    stride = r.chunk * r.M
+    R = 5
+    x = np.random.default_rng(3).normal(size=(2, R, stride)).astype(np.float32)
+    h0 = r.init_hist((2,))
+    y, h1 = r.framed(jnp.asarray(x), h0)
+    ye, yo, h2 = r.framed2(jnp.asarray(x), h0)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(y)[..., 0::2], np.asarray(ye),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y)[..., 1::2], np.asarray(yo),
+                               rtol=1e-5, atol=1e-6)
