@@ -234,20 +234,24 @@ def _wbfm():
     return body, (st0, jnp.float32(0)), T, 2 * T + out_bytes
 
 
-def _bank(n_chan=8):
+def _bank(n_chan=8, on_grid=False):
     """Polyphase channel bank: n_chan NBFM channels from one wide stream.
     Fed as the u16 view (one u16 per complex sample), matching the CLI's
     zero-copy host view — a device-side u8 dynamic slice into the u8→u16
-    bitcast costs ~400 µs/block of pure relayout (call_u16 docstring)."""
+    bitcast costs ~400 µs/block of pure relayout (call_u16 docstring).
+    on_grid=False: half-channel offsets → the arbitrary-offset mixer path;
+    on_grid=True: k·fs/C offsets → the polyphase-FFT filterbank path."""
     import jax
     import jax.numpy as jnp
     from demodulator_tpu.models.channel_bank import (ChannelBankConfig,
                                                      ChannelBankPipeline)
     fs = n_chan * 192000.0
-    offs = tuple((c - n_chan / 2 + 0.5) * 192000.0 for c in range(n_chan))
+    half = 0.0 if on_grid else 0.5
+    offs = tuple((c - n_chan / 2 + half) * 192000.0 for c in range(n_chan))
     pipe = ChannelBankPipeline(ChannelBankConfig(
         sample_rate=fs, channel_rate=192000.0, offsets_hz=offs,
         lowpass_out=12500.0))
+    assert pipe.method == ("pfb" if on_grid else "mixer"), pipe.method
     T = pipe.block_complex
     rng = np.random.default_rng(5)
     base = jax.device_put(rng.integers(0, 1 << 16, size=2 * T,
@@ -407,6 +411,7 @@ MATRIX = [
     ("nbfm_f64", _f64),
     ("wbfm_2p4msps", _wbfm),
     ("channel_bank_8ch", _bank),
+    ("channel_bank_8ch_pfb", lambda: _bank(on_grid=True)),
     ("sharded_step", _sharded),
 ]
 
@@ -456,12 +461,14 @@ def main():
     for name, build in MATRIX:
         if name == "nbfm_q0_fused_fast":
             continue  # already measured as the flagship
-        # stateful/sharded configs get shorter loops (they sync more)
-        short = name in ("wbfm_2p4msps", "channel_bank_8ch", "sharded_step",
-                         "nbfm_f64")
+        # stateful configs: steps are now ~100-250 µs, so SHORT loops sit
+        # inside the tunnel's ~ms dispatch jitter and can read 2-4× high
+        # or negative — use longer loops; only the slow f64/sharded rows
+        # keep moderate lengths (their steps are ms-scale already)
+        short = name in ("sharded_step", "nbfm_f64")
         try:
-            r = _measure(name, build, n_lo=4 if short else 10,
-                         n_hi=24 if short else 70)
+            r = _measure(name, build, n_lo=10 if short else 20,
+                         n_hi=60 if short else 120)
         except Exception as e:  # one broken config must not hide the rest
             r = {"metric": f"iq_throughput_{name}", "error": repr(e)[:400]}
         if name == "hbm_memcpy_floor" and "value" in r:

@@ -95,3 +95,50 @@ def test_negative_offset_wraps():
 def test_prototype_design():
     h = design_pfb_prototype(16, taps_per_phase=8)
     assert h.size == 128 and abs(h.sum() - 1.0) < 1e-12
+
+
+def test_call_split_matches_call():
+    """call_split's four planes interleave back to __call__'s output (the
+    parity split and tap×DFT folding happen in host matrices; matmul
+    reduction order differs, so ~1-ulp tolerance) and carry the same
+    history."""
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.channelizer import PolyphaseChannelizer
+    rng = np.random.default_rng(9)
+    pfb = PolyphaseChannelizer(8)
+    T = 8 * 2 * 40
+    x = rng.normal(size=(2, T)).astype(np.float32)
+    h0 = pfb.init_hist()
+    y, h1 = pfb(jnp.asarray(x), h0)           # [C, 2, T/C]
+    yer, yei, yor, yoi, h2 = pfb.call_split(jnp.asarray(x), h0)
+    y = np.asarray(y)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(y[:, 0, 0::2].T, np.asarray(yer),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y[:, 1, 0::2].T, np.asarray(yei),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y[:, 0, 1::2].T, np.asarray(yor),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y[:, 1, 1::2].T, np.asarray(yoi),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_call_split_streaming_continuity():
+    """Blocked call_split == one-shot call_split (history carry)."""
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.channelizer import PolyphaseChannelizer
+    rng = np.random.default_rng(10)
+    pfb = PolyphaseChannelizer(4)
+    T = 4 * 2 * 30
+    x = rng.normal(size=(2, 4 * T)).astype(np.float32)
+    whole = pfb.call_split(jnp.asarray(x), pfb.init_hist())
+    h = pfb.init_hist()
+    parts = [[] for _ in range(4)]
+    for b in range(4):
+        out = pfb.call_split(jnp.asarray(x[:, b * T:(b + 1) * T]), h)
+        h = out[4]
+        for k in range(4):
+            parts[k].append(np.asarray(out[k]))
+    for k in range(4):
+        np.testing.assert_allclose(np.concatenate(parts[k], axis=0),
+                                   np.asarray(whole[k]), atol=1e-5)

@@ -167,3 +167,21 @@ def test_wbfm_call_u16_matches_u8():
     _, a8 = pipe(st, jnp.asarray(raw))
     _, a16 = pipe.call_u16(st, jnp.asarray(raw.view(np.uint16)))
     np.testing.assert_allclose(np.asarray(a16), np.asarray(a8), atol=1e-6)
+
+
+def test_fm_demod_split_matches_interleaved():
+    """fm_demod_split on pre-split even/odd pairs == fm_demod on the
+    interleaved stream, including the C99 signed-zero/NaN corners."""
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.demod import fm_demod, fm_demod_split
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=4096).astype(np.float32)
+    # corner values in a few pair slots
+    x[:8] = [0.0, -0.0, 0.0, 0.0, 1.0, 0.0, 0.0, -1.0]
+    q = x.reshape(-1, 4)
+    for fast in (False, True):
+        want = np.asarray(fm_demod(jnp.asarray(x), fast=fast))
+        got = np.asarray(fm_demod_split(
+            jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]),
+            jnp.asarray(q[:, 2]), jnp.asarray(q[:, 3]), fast=fast))
+        np.testing.assert_array_equal(want, got)
