@@ -412,6 +412,7 @@ MATRIX = [
     ("wbfm_2p4msps", _wbfm),
     ("channel_bank_8ch", _bank),
     ("channel_bank_8ch_pfb", lambda: _bank(on_grid=True)),
+    ("channel_bank_64ch_pfb", lambda: _bank(n_chan=64, on_grid=True)),
     ("sharded_step", _sharded),
 ]
 
