@@ -209,6 +209,17 @@ class WbfmPipeline:
         else:
             xi = jnp.where(bi == 255, -128, bi - 127).astype(self.dtype)
             xq = jnp.where(bq == 255, -128, bq - 127).astype(self.dtype)
+        if self._use_framed:
+            # frame each lane BEFORE stacking: a barrier-pinned flat
+            # [2, T] followed by the [2, R, stride] reshape is a tiled-
+            # layout relayout (~100 µs per 2.4M-sample block v5e), while
+            # per-lane [T]→[R, stride] + a stack straight into the final
+            # layout is not
+            R = self.block_complex // self._stride
+            iqf = jnp.stack([xi.reshape(*lead, R, self._stride),
+                             xq.reshape(*lead, R, self._stride)], axis=-3)
+            iqf = jax.lax.optimization_barrier(iqf)
+            return self._forward_framed(state, iqf, lead)
         iq = jnp.stack([xi, xq], axis=-2)         # [..., 2, T]
         # materialize: fusing the byte-unpack into the decimation dot's
         # operand demotes it to a slow VPU shift+reduce emitter
@@ -219,16 +230,22 @@ class WbfmPipeline:
         if self._use_framed:
             R = self.block_complex // self._stride
             iqf = iq.reshape(*lead, 2, R, self._stride)
-            ye, yo, chan_hist = self.chan.framed2(iqf, state.chan_hist)
-            d = demod_ops.fm_demod_split(
-                ye[..., 0, :, :], ye[..., 1, :, :],
-                yo[..., 0, :, :], yo[..., 1, :, :], fast=True)
-            d = (d * self.gain).reshape(*lead, -1)
-        else:
-            ciq, chan_hist = self.chan(iq, state.chan_hist)
-            # interleave back for the discriminator's pair layout
-            inter = jnp.swapaxes(ciq, -1, -2).reshape(*lead, -1)
-            d = demod_ops.fm_demod(inter, fast=True) * self.gain
+            return self._forward_framed(state, iqf, lead)
+        ciq, chan_hist = self.chan(iq, state.chan_hist)
+        # interleave back for the discriminator's pair layout
+        inter = jnp.swapaxes(ciq, -1, -2).reshape(*lead, -1)
+        d = demod_ops.fm_demod(inter, fast=True) * self.gain
+        return self._post(state, d, chan_hist)
+
+    def _forward_framed(self, state: WbfmState, iqf: jax.Array, lead):
+        ye, yo, chan_hist = self.chan.framed2(iqf, state.chan_hist)
+        d = demod_ops.fm_demod_split(
+            ye[..., 0, :, :], ye[..., 1, :, :],
+            yo[..., 0, :, :], yo[..., 1, :, :], fast=True)
+        d = (d * self.gain).reshape(*lead, -1)
+        return self._post(state, d, chan_hist)
+
+    def _post(self, state: WbfmState, d: jax.Array, chan_hist):
         audio, audio_hist = self.audio(d, state.audio_hist)
         if self.deemph is not None:
             audio, deemph_hist = self.deemph(audio, state.deemph_hist)

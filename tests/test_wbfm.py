@@ -134,3 +134,30 @@ def test_batch_channels():
     assert y.shape == (2, pipe.audio_per_block)
     _, y0 = pipe(pipe.init_state(), raw0)
     np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y0), atol=1e-6)
+
+
+def test_framed_and_fallback_paths_agree():
+    """The framed2 fast path (whole-stride blocks) and the flat fallback
+    (off-stride blocks) must produce the same audio for the same stream.
+    Runs the same input through a whole-stride pipe and a minimal-unit
+    pipe whose geometry forces _use_framed=False."""
+    import jax.numpy as jnp
+    from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+    big = WbfmPipeline(WbfmConfig(block_seconds=0.1))
+    small = WbfmPipeline(WbfmConfig(block_seconds=1e-9))
+    assert big._use_framed and not small._use_framed
+    assert big.block_complex % small.block_complex == 0
+    rng = np.random.default_rng(12)
+    u16 = rng.integers(0, 1 << 16, size=big.block_complex,
+                       dtype=np.uint16)
+    stb = big.init_state()
+    stb, audio_big = big.call_u16(stb, jnp.asarray(u16))
+    sts = small.init_state()
+    outs = []
+    n = small.block_complex
+    for b in range(big.block_complex // n):
+        sts, y = small.call_u16(sts, jnp.asarray(u16[b * n:(b + 1) * n]))
+        outs.append(np.asarray(y))
+    audio_small = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(audio_big), audio_small,
+                               rtol=1e-4, atol=1e-4)
