@@ -177,20 +177,35 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
                              tail_policy=extras["tail"] or "drop",
                              offset=byte_offset)
         done = 0  # blocks since (re)start — byte_offset already covers the rest
+
+        def _write(dev_audio):
+            audio = np.asarray(dev_audio, dtype=np.float32)  # sync here
+            for c, f in enumerate(outs):
+                f.write(audio[c].tobytes())
+
+        pending = None  # one-block inflight window: jit dispatch is async,
+        # so materializing block c only AFTER dispatching c+1 overlaps the
+        # host read + file writes with device compute (the single-stream
+        # StreamProcessor's window, stream.py)
         for raw in reader:
             # zero-copy u16 view of the block (low byte = I): skips the
             # device-side u8→u16 bitcast relayout (models/channel_bank.py
             # call_u16 docstring)
             u16 = np.ascontiguousarray(raw).view(np.uint16)
             state, audio = fn(state, u16)
-            audio = np.asarray(audio, dtype=np.float32)
-            for c, f in enumerate(outs):
-                f.write(audio[c].tobytes())
+            if pending is not None:
+                _write(pending)
+            pending = audio
             done += 1
             blocks += 1
             if metrics is not None:
                 metrics.block_done()
             if ck and done % ck_every == 0:
+                # flush the window first: the checkpoint's byte_offset
+                # asserts everything before it was written
+                if pending is not None:
+                    _write(pending)
+                    pending = None
                 # materialize device state only at checkpoint boundaries
                 # (a per-block sync would serialize dispatch)
                 state_h = jax.tree.map(np.asarray, state)
@@ -199,6 +214,8 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
                                 byte_offset=byte_offset
                                 + done * pipe.block_bytes,
                                 blocks=blocks, cfg=bcfg)
+        if pending is not None:
+            _write(pending)
         if ck:
             from .runtime.checkpoint import save_checkpoint
             save_checkpoint(ck, jax.tree.map(np.asarray, state),
