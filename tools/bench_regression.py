@@ -43,6 +43,11 @@ CONFIGS = {
     "nbfm_checkpointed": ["-S", "96000", "-l", "12500",
                           "--checkpoint", "{d}/ck.npz",
                           "--checkpoint-every", "64"],
+    # extension chain: 4-channel bank (PFB, on-grid) — catches regressions
+    # in the channelizer/bank path the NBFM configs never touch
+    "bank4": ["-S", "96000", "-l", "12500", "--bank",
+              "-384000,-192000,0,192000", "--iq-rate", "768000",
+              "--channel-rate", "192000"],
 }
 
 
