@@ -67,15 +67,17 @@ class PolyphaseChannelizer:
         assert h.size % C == 0, "prototype length must be P*C"
         self.P = h.size // C
         # taps for branch c multiply F[m−p, c] = x[(m−p)C − c]
-        self.hmat = jnp.asarray(h.reshape(self.P, C), dtype)
+        self._h_np = h.reshape(self.P, C)          # host copy: _split_mats
+        self.hmat = jnp.asarray(self._h_np, dtype)  # runs at TRACE time
         self.hist_len = self.P * C  # covers x[mC − j] down to j = PC−1
         self.dtype = dtype
         self._split_cache = None     # built lazily by call_split()
         # C-point DFT as dense real matmuls (MXU): W[k, c] = e^{+j2πkc/C}
         k = np.arange(C)[:, None] * np.arange(C)[None, :]
         theta = 2.0 * np.pi * (k % C) / C
-        self.dft_cos = jnp.asarray(np.cos(theta), dtype)  # [K=C, c=C]
-        self.dft_sin = jnp.asarray(np.sin(theta), dtype)
+        self._cos_np, self._sin_np = np.cos(theta), np.sin(theta)
+        self.dft_cos = jnp.asarray(self._cos_np, dtype)  # [K=C, c=C]
+        self.dft_sin = jnp.asarray(self._sin_np, dtype)
 
     def init_hist(self, batch_shape=()) -> jax.Array:
         return jnp.zeros((*batch_shape, 2, self.hist_len), self.dtype)
@@ -116,14 +118,25 @@ class PolyphaseChannelizer:
         [3C:4C) odd·sin."""
         if self._split_cache is None:
             C, P = self.C, self.P
-            h = np.asarray(self.hmat, np.float64)      # [P, C]
-            Wc = np.asarray(self.dft_cos, np.float64)  # [K=C, C]
-            Ws = np.asarray(self.dft_sin, np.float64)
+            # host copies (NOT np.asarray of the device arrays: that is a
+            # device→host transfer at trace time — it stalls for minutes
+            # through the remote TPU tunnel)
+            h = self._h_np                             # [P, C]
+            Wc = self._cos_np                          # [K=C, C]
+            Ws = self._sin_np
             jj = np.arange(P * C)
             Bc = h[jj // C, jj % C][:, None] * Wc[:, jj % C].T   # [PC, C]
             Bs = h[jj // C, jj % C][:, None] * Ws[:, jj % C].T
             W2 = 2 * C
-            Q = (P * C + C + W2 - 1) // W2
+            # Frame count must cover the EVEN-parity tap reach j = 2qC − i
+            # (max 2(Q−1)C), which is the binding constraint: 2(Q−1)C ≥
+            # PC−1.  For odd P that is one frame more than the odd-parity
+            # reach alone, and the extra frame can start before the
+            # history, so call_split left-pads xc with `pad2` zeros; the
+            # padded reads only ever pair with out-of-range taps (j ≥ PC
+            # ⇒ zero rows in B2), so they contribute nothing.
+            Q = (P * C - 1 + W2 - 1) // W2 + 1
+            pad2 = max(0, (Q - 1) * W2 - self.hist_len)
             dt = np.dtype(self.dtype)
             B2 = np.zeros((Q, W2, 4 * C))
             for q in range(Q):
@@ -133,9 +146,9 @@ class PolyphaseChannelizer:
                         if 0 <= j < P * C:
                             B2[q, i, 2*s*C:(2*s+1)*C] += Bc[j]
                             B2[q, i, (2*s+1)*C:(2*s+2)*C] += Bs[j]
-            base2 = self.hist_len - (Q - 1) * W2
-            assert base2 >= 0, (self.hist_len, Q, W2)
-            self._split_cache = (Q, W2, base2,
+            base2 = self.hist_len + pad2 - (Q - 1) * W2
+            assert base2 >= 0, (self.hist_len, Q, W2, pad2)
+            self._split_cache = (Q, W2, base2, pad2,
                                  [b.astype(dt) for b in B2])
         return self._split_cache
 
@@ -153,14 +166,15 @@ class PolyphaseChannelizer:
         to bf16 on TPU: 2.9e-3 vs 2.4e-5 max error, unit-variance
         input)."""
         C = self.C
-        Q, W2, base2, mats = self._split_mats()
+        Q, W2, base2, pad2, mats = self._split_mats()
         T = iq.shape[-1]
         assert iq.shape[-2] == 2 and T % W2 == 0, iq.shape
         M2 = T // W2
         lead = iq.shape[:-2]
-        xc = jnp.concatenate(
-            [jnp.broadcast_to(hist, (*lead, 2, self.hist_len)), iq],
-            axis=-1)
+        parts = [jnp.broadcast_to(hist, (*lead, 2, self.hist_len)), iq]
+        if pad2:  # odd-P frame reach before the history (see _split_mats)
+            parts.insert(0, jnp.zeros((*lead, 2, pad2), iq.dtype))
+        xc = jnp.concatenate(parts, axis=-1)
         F2tot = (Q - 1) + M2
         xf = jax.lax.slice_in_dim(xc, base2, base2 + F2tot * W2, axis=-1)
         xf = xf.reshape(*lead, 2, F2tot, W2)

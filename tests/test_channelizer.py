@@ -97,19 +97,26 @@ def test_prototype_design():
     assert h.size == 128 and abs(h.sum() - 1.0) < 1e-12
 
 
-def test_call_split_matches_call():
+@pytest.mark.parametrize("C,P", [(8, 12), (8, 7), (4, 3), (16, 5)])
+def test_call_split_matches_call(C, P):
     """call_split's four planes interleave back to __call__'s output (the
     parity split and tap×DFT folding happen in host matrices; matmul
     reduction order differs, so ~1-ulp tolerance) and carry the same
-    history."""
+    history.  Odd P exercises the even-parity extra frame + left pad.
+
+    __call__'s einsums run at default matmul precision (bf16 operands on
+    TPU), so the context pins them to HIGHEST for a backend-independent
+    comparison against call_split's explicit Precision.HIGH."""
+    import jax
     import jax.numpy as jnp
     from demodulator_tpu.ops.channelizer import PolyphaseChannelizer
     rng = np.random.default_rng(9)
-    pfb = PolyphaseChannelizer(8)
-    T = 8 * 2 * 40
+    pfb = PolyphaseChannelizer(C, taps_per_phase=P)
+    T = C * 2 * 40
     x = rng.normal(size=(2, T)).astype(np.float32)
     h0 = pfb.init_hist()
-    y, h1 = pfb(jnp.asarray(x), h0)           # [C, 2, T/C]
+    with jax.default_matmul_precision("highest"):
+        y, h1 = pfb(jnp.asarray(x), h0)       # [C, 2, T/C]
     yer, yei, yor, yoi, h2 = pfb.call_split(jnp.asarray(x), h0)
     y = np.asarray(y)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
