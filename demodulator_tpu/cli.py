@@ -11,9 +11,11 @@ are accepted and ignored; -b shifts DEFAULT_BUF_SIZE.
 
 Framework extensions use long options (never colliding with the reference's
 short ones): --profile compat|continuous, --precision float32|float64,
---fast-atan2, --tail drop|pad, --verbose-design, and the WBFM broadcast
-receiver --wbfm [--iq-rate 2400000 --audio-rate 48000 --deviation 75000
---deemphasis 75] (rational polyphase resample + de-emphasis; models/wbfm.py).
+--fast-atan2, --tail drop|pad, --verbose-design, --chunk-blocks N (blocks
+per device dispatch on the NBFM paths, default 16; 1 = per-block), and the
+WBFM broadcast receiver --wbfm [--iq-rate 2400000 --audio-rate 48000
+--deviation 75000 --deemphasis 75] (rational polyphase resample +
+de-emphasis; models/wbfm.py).
 """
 from __future__ import annotations
 
@@ -38,7 +40,7 @@ def parse_args(argv):
               "bank": None, "channel_rate": "192000",
               "shard_time": None, "shard_chan": None,
               "distributed": False, "shared_out": False, "backend": "auto",
-              "block_seconds": None}
+              "block_seconds": None, "chunk_blocks": "16"}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -60,7 +62,8 @@ def parse_args(argv):
                    "--audio-rate", "--deviation", "--deemphasis",
                    "--checkpoint", "--checkpoint-every", "--trace",
                    "--bank", "--channel-rate", "--shard-time",
-                   "--shard-chan", "--backend", "--block-seconds"):
+                   "--shard-chan", "--backend", "--block-seconds",
+                   "--chunk-blocks"):
             i += 1
             if i >= len(argv):
                 raise SystemExit(f"option {a} requires an argument")
@@ -111,7 +114,12 @@ def _enable_compile_cache():
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # write EVERY entry: through the remote axon backend jax's measured
+        # compile time is often sub-second (the server does the heavy
+        # lifting), so the default 1.0 s floor silently skipped the write
+        # and every fresh process re-compiled — the r3 REGRESSION.json
+        # "warm-cache" outliers
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # cache is best-effort
 
@@ -182,6 +190,11 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
             audio = np.asarray(dev_audio, dtype=np.float32)  # sync here
             for c, f in enumerate(outs):
                 f.write(audio[c].tobytes())
+            if metrics is not None:
+                # count at materialization (post-sync), not dispatch: with
+                # the inflight window a dispatched block may still be
+                # computing on device
+                metrics.block_done()
 
         pending = None  # one-block inflight window: jit dispatch is async,
         # so materializing block c only AFTER dispatching c+1 overlaps the
@@ -198,8 +211,6 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
             pending = audio
             done += 1
             blocks += 1
-            if metrics is not None:
-                metrics.block_done()
             if ck and done % ck_every == 0:
                 # flush the window first: the checkpoint's byte_offset
                 # asserts everything before it was written
@@ -232,6 +243,10 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
 
 
 def main(argv=None) -> int:
+    import os as _os
+    import time as _time
+    _phases = {} if _os.environ.get("DEMODULATOR_TPU_PHASES") else None
+    _t0 = _time.perf_counter()
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 2:
         print(__doc__, file=sys.stderr)
@@ -358,13 +373,31 @@ def main(argv=None) -> int:
             run_kw["tail_policy"] = extras["tail"] or "drop"
         else:
             proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"],
-                                   backend=extras["backend"])
+                                   backend=extras["backend"],
+                                   chunk_blocks=max(
+                                       1, int(extras["chunk_blocks"])))
         if extras["metrics"]:
             from .utils.metrics import StreamMetrics
             run_kw["metrics"] = StreamMetrics(proc.block_bytes,
                                               proc.block_bytes // 2)
+        if _phases is not None:
+            _phases["build_s"] = round(_time.perf_counter() - _t0, 3)
         try:
             proc.run(fin, fout, **run_kw)
+            if _phases is not None:
+                # DEMODULATOR_TPU_PHASES=1: one stderr JSON line splitting
+                # wall time into build (imports+backend+filter design),
+                # first output (trace+compile+first dispatch — where
+                # compile-cache misses and tunnel stalls land), and steady
+                # streaming, so regression outliers are attributable
+                import json as _json
+                _phases["first_output_s"] = round(
+                    getattr(proc, "first_output_s", None) or 0.0, 3)
+                _phases["total_s"] = round(_time.perf_counter() - _t0, 3)
+                _phases["stream_s"] = round(
+                    _phases["total_s"] - _phases["build_s"]
+                    - _phases["first_output_s"], 3)
+                print("PHASES " + _json.dumps(_phases), file=sys.stderr)
         except Exception as e:
             from .runtime.checkpoint import CheckpointError
             if isinstance(e, CheckpointError):
