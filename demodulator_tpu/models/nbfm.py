@@ -121,7 +121,7 @@ class BlockPipeline:
         cfg = self.cfg
         kind = cfg.conditioning_kind()
         name = "normalize" if kind == 3 else "shift"
-        taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
+        taps = tuple(float(t) for t in self.out_fir.host_taps)
         audio = fused_nbfm_u32(u32, taps, name, interpret=interpret,
                                precise=not self.fast_atan2)
         # f64 head patch: demod of the first Wh samples (1 u32 word each);
@@ -153,7 +153,7 @@ class BlockPipeline:
         cfg = self.cfg
         kind = cfg.conditioning_kind()
         name = "normalize" if kind == 3 else "shift"
-        taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
+        taps = tuple(float(t) for t in self.out_fir.host_taps)
         audio = fused_nbfm_u32_3d(u32, taps, name, interpret=interpret,
                                   precise=not self.fast_atan2)
         # f64 head patch confined to row 0 (Wh inputs → H outputs, both
@@ -202,7 +202,7 @@ class BlockPipeline:
         blocks AND the per-sample geometric-prefix XLA stages."""
         from ..ops.pallas.fused_nbfm import fused_nbfm_q1_u32_3d
         assert self._use_fused_q1() or interpret
-        taps = tuple(float(t) for t in np.asarray(self.out_fir.taps))
+        taps = tuple(float(t) for t in self.out_fir.host_taps)
         off_in = state.iq_off.reshape(-1)[:2]
         audio, offs_in, off_fin = fused_nbfm_q1_u32_3d(
             u32, off_in, taps, float(self.esr), interpret=interpret,
@@ -299,9 +299,9 @@ class BlockPipeline:
         name = "normalize" if kind == 3 else "shift"
         cond = (cond_ops.normalize_input if kind == 3
                 else cond_ops.shift_origin)
-        taps = tuple(float(t) for t in np.asarray(outf.taps))
-        ctaps = tuple(float(t) for t in np.asarray(inf.taps))
-        ci = tuple(float(v) for v in np.asarray(inf.c_int))
+        taps = tuple(float(t) for t in outf.host_taps)
+        ctaps = tuple(float(t) for t in inf.host_taps)
+        ci = tuple(float(v) for v in inf.host_c_int)
         audio = fused_nbfm_inlpf_u32_3d(u32, ctaps, ci, taps, name,
                                         interpret=interpret,
                                         precise=not self.fast_atan2)
@@ -391,10 +391,10 @@ class BlockPipeline:
         assert self.fused_q2l_eligible() or interpret
         dc, inf, outf = self.dc_fir, self.in_fir, self.out_fir
         g = self._q2l_geometry()
-        taps = tuple(float(t) for t in np.asarray(outf.taps))
+        taps = tuple(float(t) for t in outf.host_taps)
         stages = tuple(
-            (tuple(float(t) for t in np.asarray(s.taps)),
-             tuple(float(v) for v in np.asarray(s.c_int)))
+            (tuple(float(t) for t in s.host_taps),
+             tuple(float(v) for v in s.host_c_int))
             for s in (dc, inf))
         audio = fused_nbfm_cplx_u32_3d(u32, stages, taps, "shift",
                                        interpret=interpret,

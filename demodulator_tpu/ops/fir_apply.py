@@ -25,6 +25,12 @@ class JRealFir:
         self.Wh = op.Wh
         self.D = op.D
         self.dtype = dtype
+        # host-side taps for callers that fold them into kernel constants
+        # at TRACE time (fused paths): np.asarray on the device array would
+        # be a device→host transfer inside tracing — observed stalling for
+        # minutes through the remote TPU tunnel, and the cause of the r3
+        # REGRESSION.json warm-cache outliers
+        self.host_taps = np.asarray(op.taps, np.float64)
         self.taps = jnp.asarray(op.taps, dtype)
         # Dense head rows concentrate the recurrence's cancellation into one
         # dot product (coefficients ~1/k^2): evaluate them in f64 (tiny work)
@@ -83,6 +89,7 @@ class JCplxFir:
         self.Dc, self.Kc, self.Wtc = op.Dc, op.Kc, op.Wtc
         self.sos_len = op.sos_len
         self.dtype = dtype
+        self.host_taps = np.asarray(op.taps, np.float64)  # see JRealFir
         self.taps = jnp.asarray(op.taps, dtype)
         # dense corrections in f64 (see JRealFir): head, overrun, couplings
         self.head = jnp.asarray(op.head, jnp.float64)
@@ -90,7 +97,8 @@ class JCplxFir:
         self.tail_alias = jnp.asarray(op.tail_alias, jnp.float64)
         self.c_head = jnp.asarray(np.stack([op.c_head_i, op.c_head_q], -1),
                                   jnp.float64)
-        self.c_int = jnp.asarray(np.array([op.c_int_i, op.c_int_q]), dtype)
+        self.host_c_int = np.array([op.c_int_i, op.c_int_q])  # see JRealFir
+        self.c_int = jnp.asarray(self.host_c_int, dtype)
         self.c_tail = jnp.asarray(np.stack([op.c_tail_i, op.c_tail_q], -1),
                                   jnp.float64)
         if y_coup is None:

@@ -573,19 +573,42 @@ class StreamProcessor:
 
     def __init__(self, cfg: DemodConfig, fast_atan2: bool = False,
                  inflight: int = 2, pipeline=None, use_native: bool = True,
-                 backend: str = "auto"):
+                 backend: str = "auto", chunk_blocks: int = 16):
         """``pipeline`` overrides the NBFM BlockPipeline with any per-block
         model exposing init_state() / __call__(state, raw) / block_bytes
         (e.g. models.wbfm.WbfmPipeline).  ``backend``: 'auto' | 'fused' |
         'xla' — forwarded to BlockPipeline (the regression harness toggles
-        it to catch per-backend perf cliffs, tools/bench_regression.py)."""
+        it to catch per-backend perf cliffs, tools/bench_regression.py).
+
+        ``chunk_blocks``: NB blocks dispatched per device call on the NBFM
+        paths (1 = per-block).  Per-block dispatch costs ~1-2 ms of host
+        Python + dispatch per 256 KiB block — more than the kernel itself —
+        which made forced-XLA beat the fused backend end-to-end in the r3
+        regression matrix.  Chunking amortizes it exactly like
+        ShardedStreamProcessor: blocks are state-free in the compat profile
+        (SURVEY.md §1 fact 3) and the q1 DC tracker chains over the batch
+        axis in-kernel (fused) / via the block prefix (XLA
+        process_blocks), so output is byte-identical to per-block."""
         import jax
         self.cfg = cfg
         self._continuous = False
+        self.chunk_blocks = 1
         if pipeline is None:
             self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2,
                                       backend=backend)
             self.block_bytes = cfg.buf_size
+            rows = (cfg.buf_size // 4) // 128
+
+            def u32_3d(raw):
+                # host-viewed uint32 shaped [B, rows, 128] (free numpy
+                # .view+.reshape): skips both the device u8→u32 relayout
+                # and the flat↔3-D tiled-layout copies; the 3-D audio's
+                # row-major bytes are identical to the flat audio for the
+                # writer's .tobytes().  raw: [bb] or [B, bb] uint8.
+                b = raw.shape[0] if raw.ndim == 2 else 1
+                return (np.ascontiguousarray(raw).view(np.uint32)
+                        .reshape(b, rows, 128))
+
             if cfg.profile == "continuous":
                 # carry-state continuous filtering: conditioning stays
                 # per-block, the filters run stationary with a one-block
@@ -597,51 +620,46 @@ class StreamProcessor:
                 self._halo_reals = 2 * self.pipe.halo_pairs
                 self.fn = None
             elif self.pipe._use_fused() and self.pipe._use_fused_3d_ok():
-                # feed host-viewed uint32 shaped [1, rows, 128] (free numpy
-                # .view+.reshape): skips both the device u8→u32 relayout and
-                # the flat↔3-D tiled-layout copies; the 3-D audio's
-                # row-major bytes are identical to the flat audio for the
-                # writer's .tobytes()
                 f32c = jax.jit(self.pipe.fused_call_u32_3d,
                                donate_argnums=(0,))
-                rows = (cfg.buf_size // 4) // 128
-                self.fn = lambda st, raw: f32c(
-                    st, np.ascontiguousarray(raw).view(np.uint32)
-                    .reshape(1, rows, 128))
+                self.fn = lambda st, raw: f32c(st, u32_3d(raw))
+                self.chunk_blocks = max(1, chunk_blocks)
             elif self.pipe._use_fused_inlpf():
                 # -L configs: whole chain fused, same zero-copy 3-D feed
                 f32c = jax.jit(self.pipe.fused_call_inlpf_u32_3d,
                                donate_argnums=(0,))
-                rows = (cfg.buf_size // 4) // 128
-                self.fn = lambda st, raw: f32c(
-                    st, np.ascontiguousarray(raw).view(np.uint32)
-                    .reshape(1, rows, 128))
+                self.fn = lambda st, raw: f32c(st, u32_3d(raw))
+                self.chunk_blocks = max(1, chunk_blocks)
             elif self.pipe._use_fused_q2l():
                 # -q2 -L combined: both complex stages fused in one kernel
                 f32c = jax.jit(self.pipe.fused_call_q2l_u32_3d,
                                donate_argnums=(0,))
-                rows = (cfg.buf_size // 4) // 128
-                self.fn = lambda st, raw: f32c(
-                    st, np.ascontiguousarray(raw).view(np.uint32)
-                    .reshape(1, rows, 128))
+                self.fn = lambda st, raw: f32c(st, u32_3d(raw))
+                self.chunk_blocks = max(1, chunk_blocks)
             elif self.pipe._use_fused():
                 # feed host-viewed uint32 (free numpy .view) so the device
                 # never pays the u8→u32 relayout (~1.9 ms per 64 MiB)
                 f32c = jax.jit(self.pipe.fused_call_u32, donate_argnums=(0,))
                 self.fn = lambda st, raw: f32c(
                     st, np.ascontiguousarray(raw).view(np.uint32)
-                    .reshape(1, -1))
+                    .reshape(raw.shape[0] if raw.ndim == 2 else 1, -1))
+                self.chunk_blocks = max(1, chunk_blocks)
             elif self.pipe._use_fused_q1():
                 # correctIq: fused kernel with the DC tracker chained in
-                # VMEM scratch; same zero-copy u32 feed
+                # VMEM scratch over the batch (= block sequence) axis;
+                # same zero-copy u32 feed
                 fq1 = jax.jit(self.pipe.fused_call_q1_u32_3d,
                               donate_argnums=(0,))
-                rows = (cfg.buf_size // 4) // 128
-                self.fn = lambda st, raw: fq1(
-                    st, np.ascontiguousarray(raw).view(np.uint32)
-                    .reshape(1, rows, 128))
+                self.fn = lambda st, raw: fq1(st, u32_3d(raw))
+                self.chunk_blocks = max(1, chunk_blocks)
             else:
-                self.fn = self.pipe.jit_block_fn()
+                # XLA fallback: process_blocks chains the q1 tracker over
+                # the block axis (blocked affine prefix) and is the plain
+                # batched __call__ everywhere else
+                fb = jax.jit(self.pipe.process_blocks, donate_argnums=(0,))
+                self.fn = lambda st, raw: fb(
+                    st, raw if raw.ndim == 2 else raw[None])
+                self.chunk_blocks = max(1, chunk_blocks)
         else:
             self.pipe = pipeline
             self.block_bytes = pipeline.block_bytes
@@ -689,6 +707,10 @@ class StreamProcessor:
             from .checkpoint import load_checkpoint
             state, byte_offset, blocks = load_checkpoint(
                 checkpoint_path, state, cfg=ck_cfg)
+        if self.chunk_blocks > 1 and not self._continuous:
+            return self._run_chunked(fin, fout, tail_policy, state, blocks,
+                                     byte_offset, checkpoint_path,
+                                     checkpoint_every, ck_cfg, metrics)
         # offset is handled inside the reader: lseek/skip-read for the
         # native one, seek-or-skip of fin for the Python fallback — so a
         # pipe capture (stdin/FIFO) is resumable too
@@ -697,6 +719,9 @@ class StreamProcessor:
             return self._run_continuous(reader, fout, state, blocks,
                                         byte_offset, checkpoint_path,
                                         checkpoint_every, ck_cfg, metrics)
+        import time as _time
+        t_run0 = _time.perf_counter()
+        self.first_output_s = None
         pending: list = []
         out_dtype = self.cfg.np_dtype()
 
@@ -734,6 +759,8 @@ class StreamProcessor:
             if len(pending) >= self.inflight:
                 fout.write(np.asarray(pending.pop(0),
                                       dtype=out_dtype).tobytes())
+                if self.first_output_s is None:
+                    self.first_output_s = _time.perf_counter() - t_run0
                 snap = state_q.pop(0)
                 blocks += 1
                 done += 1
@@ -762,6 +789,93 @@ class StreamProcessor:
             import jax as _jax
             state_done = _jax.tree.map(np.asarray, state)
             ckpt()
+        return blocks
+
+    def _run_chunked(self, fin, fout, tail_policy, state, blocks,
+                     byte_offset, checkpoint_path, checkpoint_every,
+                     ck_cfg, metrics) -> int:
+        """NB-blocks-per-dispatch streaming (the default on the NBFM
+        paths): a background ChunkReader prefetches [NB, bb] chunks read
+        with one readinto each, the jitted fn processes all NB blocks in
+        one device call (output bytes identical to per-block — blocks are
+        state-free, and q1's tracker chains over the batch axis), and an
+        ``inflight`` window of dispatched chunks overlaps host IO with
+        device compute.  The stream tail (< NB whole blocks) falls back to
+        per-block dispatch carrying the same state.  Replaces the
+        reference's 2-thread overlap (src/main.c:58-98) with ~NB× less
+        per-block dispatch overhead."""
+        import time as _time
+        import jax
+        import jax.numpy as jnp
+        NB = self.chunk_blocks
+        out_dtype = self.cfg.np_dtype()
+        t_run0 = _time.perf_counter()
+        self.first_output_s = None  # time to first written chunk: captures
+        # trace+compile+first dispatch — lets the bench harness attribute
+        # outliers to compile/tunnel stalls vs steady-state throughput
+        if byte_offset:
+            _seek_or_skip(fin, byte_offset)
+        reader = ChunkReader(fin, self.block_bytes, NB,
+                             tail_policy=tail_policy)
+        ck_every_chunks = max(1, checkpoint_every // NB)
+        snap_fn = (jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+                   if checkpoint_path else None)
+        pending: list = []   # (audio, n_blocks, state_snapshot_or_None)
+        done = 0             # blocks written since (re)start
+        done_chunks = 0
+
+        def ckpt(state_h):
+            if checkpoint_path:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path,
+                                jax.tree.map(np.asarray, state_h),
+                                byte_offset=byte_offset
+                                + done * self.block_bytes,
+                                blocks=blocks, cfg=ck_cfg)
+
+        def drain_one():
+            nonlocal blocks, done, done_chunks
+            audio, nb, snap = pending.pop(0)
+            fout.write(np.asarray(audio, dtype=out_dtype).tobytes())
+            if self.first_output_s is None:
+                self.first_output_s = _time.perf_counter() - t_run0
+            blocks += nb
+            done += nb
+            done_chunks += 1
+            if metrics is not None:
+                for _ in range(nb):
+                    metrics.block_done()
+            if snap is not None:
+                ckpt(snap)
+
+        tail_chunk: np.ndarray | None = None
+        dispatched_chunks = 0
+        for chunk in reader:
+            if len(chunk) < NB:
+                tail_chunk = chunk
+                break
+            state, audio = self.fn(state, chunk)
+            dispatched_chunks += 1
+            snap = (snap_fn(state) if snap_fn is not None
+                    and dispatched_chunks % ck_every_chunks == 0 else None)
+            pending.append((audio, NB, snap))
+            if len(pending) >= self.inflight:
+                drain_one()
+        while pending:
+            drain_one()
+        if tail_chunk is not None:
+            # per-block fallback: reuses the B=1 jit specialization so any
+            # tail length shares one compile
+            for blk in tail_chunk:
+                state, out = self.fn(state, blk)
+                fout.write(np.asarray(out, dtype=out_dtype).tobytes())
+                blocks += 1
+                done += 1
+                if metrics is not None:
+                    metrics.block_done()
+        fout.flush()
+        if checkpoint_path:
+            ckpt(state)
         return blocks
 
     def _run_continuous(self, reader, fout, state, blocks, byte_offset,

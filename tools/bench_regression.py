@@ -48,18 +48,33 @@ CONFIGS = {
     "bank4": ["-S", "96000", "-l", "12500", "--bank",
               "-384000,-192000,0,192000", "--iq-rate", "768000",
               "--channel-rate", "192000"],
+    # broadcast WBFM receiver chain (resampler + de-emphasis): the other
+    # extension path with no NBFM overlap
+    "wbfm": ["-S", "96000", "-l", "12500", "--wbfm",
+             "--iq-rate", "2400000", "--audio-rate", "48000"],
 }
 
 
-def run_once(src: str, dst: str, args: list[str]) -> float:
+def run_once(src: str, dst: str, args: list[str]) -> tuple[float, dict]:
+    """One timed CLI run → (wall seconds, phase dict).
+
+    DEMODULATOR_TPU_PHASES splits the wall time into build / first-output
+    (trace+compile — where cache misses and tunnel stalls land) / stream,
+    so an outlier run is attributable instead of corrupting the medians
+    silently (the r3 REGRESSION.json lesson)."""
+    env = dict(os.environ, DEMODULATOR_TPU_PHASES="1")
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "demodulator_tpu", "-i", src, "-o", dst,
-         *args], cwd=REPO, capture_output=True)
+         *args], cwd=REPO, capture_output=True, env=env)
     dt = time.perf_counter() - t0
     if r.returncode != 0:
         raise RuntimeError(r.stderr.decode()[-2000:])
-    return dt
+    phases = {}
+    for line in r.stderr.decode().splitlines():
+        if line.startswith("PHASES "):
+            phases = json.loads(line[len("PHASES "):])
+    return dt, phases
 
 
 def main(argv=None) -> int:
@@ -69,6 +84,14 @@ def main(argv=None) -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--configs", default="all",
                     help="comma list of config names, or 'all'")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="unrecorded cache-priming runs per config (the "
+                    "reference times a warm binary; this times a warm "
+                    "compile cache)")
+    ap.add_argument("--cooldown", type=float, default=15.0,
+                    help="seconds between CLI processes: the remote TPU "
+                    "tunnel wedges a client that starts before the "
+                    "previous one's session is torn down")
     args = ap.parse_args(argv)
 
     names = list(CONFIGS) if args.configs == "all" \
@@ -84,14 +107,24 @@ def main(argv=None) -> int:
         for name in names:
             dst = os.path.join(d, f"{name}.raw")
             cfg_args = [a.replace("{d}", d) for a in CONFIGS[name]]
-            times = [run_once(src, dst, cfg_args)
-                     for _ in range(args.repeats)]
+            for _ in range(args.warmup):
+                run_once(src, dst, cfg_args)
+                time.sleep(args.cooldown)
+            times, phases = [], []
+            for _ in range(args.repeats):
+                t, ph = run_once(src, dst, cfg_args)
+                times.append(t)
+                phases.append(ph)
+                time.sleep(args.cooldown)
             best = min(times)
             print(json.dumps({
                 "config": name,
                 "runs": [round(t, 3) for t in times],
                 "median_s": round(statistics.median(times), 3),
                 "best_msps_complex_e2e": round(complex_in / best / 1e6, 2),
+                "stream_s": [ph.get("stream_s") for ph in phases],
+                "first_output_s": [ph.get("first_output_s")
+                                   for ph in phases],
             }), flush=True)
     return 0
 
