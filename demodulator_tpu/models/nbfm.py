@@ -196,15 +196,16 @@ class BlockPipeline:
                              interpret: bool = False):
         """correctIq fused path: u32 uint32 [B, rows, 128] (host-viewed raw
         bytes) → (state, audio [B, rows, 128]).  The batch dimension is the
-        BLOCK SEQUENCE: the DC tracker chains block-to-block inside the
-        kernel (sequential grid + VMEM scratch), exactly like the C static
-        (src/matrix.c:125), so one dispatch replaces a lax.scan/prefix over
-        blocks AND the per-sample geometric-prefix XLA stages."""
-        from ..ops.pallas.fused_nbfm import fused_nbfm_q1_u32_3d
+        BLOCK SEQUENCE: the DC tracker chains block-to-block via the
+        two-pass design (parallel-grid summaries → log-depth prefix →
+        parallel-grid apply; ops.pallas.fused_nbfm.fused_nbfm_q1_twopass_
+        u32_3d), replacing the C static chain (src/matrix.c:125) with two
+        grid-parallel HBM passes."""
+        from ..ops.pallas.fused_nbfm import fused_nbfm_q1_twopass_u32_3d
         assert self._use_fused_q1() or interpret
         taps = tuple(float(t) for t in self.out_fir.host_taps)
         off_in = state.iq_off.reshape(-1)[:2]
-        audio, offs_in, off_fin = fused_nbfm_q1_u32_3d(
+        audio, offs_in, off_fin = fused_nbfm_q1_twopass_u32_3d(
             u32, off_in, taps, float(self.esr), interpret=interpret,
             precise=not self.fast_atan2)
         audio = self._q1_head_patch(audio, u32, offs_in)

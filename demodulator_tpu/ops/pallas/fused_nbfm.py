@@ -386,30 +386,17 @@ def _dot_hi(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _q1_kernel(off_in_ref, u32_ref, t_ref, j_ref, trow_ref, jr_ref,
-               alane_ref, wl_ref, arow_ref, wrow_ref,
-               out_ref, offs_ref, off_out_ref, scr_ref,
-               *, taps, esr, decay, n_words, rows, precise):
-    """One grid step = one block, chained sequentially via ``scr_ref``.
+def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
+             arow_ref, *, taps, esr, decay, rows, precise):
+    """Shared per-block correctIq → demod → FIR body.
 
-    off_in_ref: [2, 128] f32 — incoming DC offset (I row 0, Q row 1,
-    broadcast along lanes); consumed at grid step 0 only.
-    u32_ref: [1, rows, 128] uint32 raw bytes.  out_ref: audio.
-    offs_ref: [1, 2, 128] — the offset ENTERING this block (for the f64
-    head patch outside).  off_out_ref: [2, 128] — final offset.
-    """
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        scr_ref[...] = off_in_ref[...]
-
-    off = scr_ref[...]                       # [2, 128]
-    offs_ref[0] = off                        # entering offset, per block
+    off: [2, 128] f32 entering DC offset (I row 0, Q row 1, lanes
+    broadcast).  u: [rows, 128] uint32 raw bytes.  Returns (audio
+    [rows, 128], rsI, rsQ [R2, 1] row summaries — the chain's inputs;
+    callers that get the entering offset from outside ignore them and
+    Mosaic DCEs the two small dots)."""
     offI = off[0:1, 0:1]                     # [1, 1] broadcastable
     offQ = off[1:2, 0:1]
-
-    u = u32_ref[0]
     mask = jnp.uint32(0xFF)
     f32 = jnp.float32
     # raw bytes as float (correctIq conditions RAW uint8 values); the
@@ -480,18 +467,102 @@ def _q1_kernel(off_in_ref, u32_ref, t_ref, j_ref, trow_ref, jr_ref,
     zj = bc * cc - ac * dc
     x = _atan2_fast_recip(zj, zr, precise)
     x = jnp.where(jnp.isnan(x), f32(0.0), x)
-    out_ref[0] = _audio_fir(x, taps, rows)
+    return _audio_fir(x, taps, rows), rsI, rsQ
+
+
+def _q1_kernel(off_in_ref, u32_ref, t_ref, j_ref, trow_ref, jr_ref,
+               alane_ref, wl_ref, arow_ref, wrow_ref,
+               out_ref, offs_ref, off_out_ref, scr_ref,
+               *, taps, esr, decay, n_words, rows, precise):
+    """One grid step = one block, chained sequentially via ``scr_ref``.
+
+    off_in_ref: [2, 128] f32 — incoming DC offset (I row 0, Q row 1,
+    broadcast along lanes); consumed at grid step 0 only.
+    u32_ref: [1, rows, 128] uint32 raw bytes.  out_ref: audio.
+    offs_ref: [1, 2, 128] — the offset ENTERING this block (for the f64
+    head patch outside).  off_out_ref: [2, 128] — final offset.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        scr_ref[...] = off_in_ref[...]
+
+    off = scr_ref[...]                       # [2, 128]
+    offs_ref[0] = off                        # entering offset, per block
+    audio, rsI, rsQ = _q1_body(off, u32_ref[0], t_ref, j_ref, trow_ref,
+                               jr_ref, alane_ref, wl_ref, arow_ref,
+                               taps=taps, esr=esr, decay=decay, rows=rows,
+                               precise=precise)
+    out_ref[0] = audio
 
     # chain: off_out = a^{n_words}·off_in + Σ_r (a²ᐧ¹²⁸)^{R2-1-r}·rowsum_r
+    f32 = jnp.float32
     totI = jnp.sum(rsI * wrow_ref[...], axis=0, keepdims=True)
     totQ = jnp.sum(rsQ * wrow_ref[...], axis=0, keepdims=True)
     a_n = f32(float(decay) ** n_words)
-    newI = a_n * offI + totI[:, 0:1]
-    newQ = a_n * offQ + totQ[:, 0:1]
+    newI = a_n * off[0:1, 0:1] + totI[:, 0:1]
+    newQ = a_n * off[1:2, 0:1] + totQ[:, 0:1]
     new = jnp.concatenate([jnp.broadcast_to(newI, (1, LANES)),
                            jnp.broadcast_to(newQ, (1, LANES))], axis=0)
     scr_ref[...] = new
     off_out_ref[...] = new
+
+
+def _q1_sum_kernel(u32_ref, wl_ref, wlr_ref, wrow_ref, wrowr_ref, bt_ref,
+                   *, esr, decay, rows):
+    """Two-pass correctIq, pass 1 (PARALLEL grid): per-block affine
+    summary b_tot such that off_out = a^{n_words}·off_in + b_tot.
+
+    The mirror matmuls of the full body fold away: summing a mirrored
+    plane against the geometric weights equals summing the plane against
+    the REVERSED weights (wlr = q^l, wrowr = qr^r), so the summary is
+    eight [R2,128]@[128,1] dots + weighted row sums — the kernel is pure
+    DMA + a sliver of MXU, and the grid pipelines block DMAs against each
+    other (unlike the sequential single-pass chain).
+    bt_ref: [1, 2, 128] — b_tot I/Q broadcast along lanes."""
+    u = u32_ref[0]
+    mask = jnp.uint32(0xFF)
+    f32 = jnp.float32
+    pa = (u & mask).astype(jnp.int32).astype(f32)
+    pb = ((u >> 8) & mask).astype(jnp.int32).astype(f32)
+    pc = ((u >> 16) & mask).astype(jnp.int32).astype(f32)
+    pd = ((u >> 24) & mask).astype(jnp.int32).astype(f32)
+    R2 = rows // 2
+    aF, aB = pa[:R2], pa[R2:]
+    bF, bB = pb[:R2], pb[R2:]
+    cF, cB = pc[:R2], pc[R2:]
+    dF, dB = pd[:R2], pd[R2:]
+    wl, wlr = wl_ref[...], wlr_ref[...]          # [128, 1] each
+    wrow, wrowr = wrow_ref[...], wrowr_ref[...]  # [R2, 1] each
+
+    def s_f(x):                # front-plane weighted sum (word order)
+        return jnp.sum(_dot_hi(x, wl) * wrow)
+
+    def s_b(x):                # back plane: mirror folded into reversal
+        return jnp.sum(_dot_hi(x, wlr) * wrowr)
+
+    e = f32(esr)
+    ad = f32(decay)
+    totI = ad * e * (s_f(aF) + s_b(cB)) + e * (s_f(cF) + s_b(aB))
+    totQ = ad * e * (s_f(bF) + s_b(dB)) + e * (s_f(dF) + s_b(bB))
+    bt_ref[0] = jnp.concatenate(
+        [jnp.full((1, LANES), totI, f32), jnp.full((1, LANES), totQ, f32)],
+        axis=0)
+
+
+def _q1_apply_kernel(offs_ref, u32_ref, t_ref, j_ref, trow_ref, jr_ref,
+                     alane_ref, wl_ref, arow_ref, out_ref,
+                     *, taps, esr, decay, rows, precise):
+    """Two-pass correctIq, pass 2 (PARALLEL grid): the full conditioning →
+    demod → FIR body with each block's ENTERING offset supplied as input
+    (offs_ref [1, 2, 128]) instead of chained through scratch — restores
+    grid parallelism (DMA/compute overlap across blocks)."""
+    audio, _, _ = _q1_body(offs_ref[0], u32_ref[0], t_ref, j_ref, trow_ref,
+                           jr_ref, alane_ref, wl_ref, arow_ref,
+                           taps=taps, esr=esr, decay=decay, rows=rows,
+                           precise=precise)
+    out_ref[0] = audio
 
 
 def _q1_consts(decay: float, rows: int):
@@ -519,6 +590,101 @@ def _q1_consts(decay: float, rows: int):
 
 @functools.partial(jax.jit, static_argnames=("taps", "esr", "interpret",
                                              "precise"))
+def fused_nbfm_q1_twopass_u32_3d(u32: jax.Array, off_in: jax.Array,
+                                 taps: tuple, esr: float,
+                                 interpret: bool = False,
+                                 precise: bool = True):
+    """Two-pass correctIq fused chain (the DEFAULT q1 path): u32 uint32
+    [B, rows, 128] raw bytes, off_in [2] f32 → (audio f32 [B, rows, 128],
+    off_entering [B, 2], off_final [2]).
+
+    The single-pass kernel (fused_nbfm_q1_u32_3d) chains blocks through
+    VMEM scratch on a SEQUENTIAL grid, so one block's DMA can never
+    overlap another's compute — measured 12.6 Gsps, 8% of the memcpy
+    floor (docs/PERF_NBFM.md addendum).  This version restores grid
+    parallelism at the cost of reading the input twice:
+
+      pass 1 (parallel grid)  per-block affine summaries b_tot
+      XLA                     log-depth exclusive prefix over blocks
+                              (ops.conditioning.correct_iq_block_prefix)
+      pass 2 (parallel grid)  conditioning+demod+FIR with each block's
+                              entering offset as an input
+
+    Replaces the C static-state chain (src/matrix.c:120-140) with two
+    HBM passes; numerics match the sequential kernel to f32 prefix noise
+    (the cross-block composition order differs, ~1e-7 relative).
+    """
+    B, rows, lanes = u32.shape
+    assert lanes == LANES and rows % 2 == 0, u32.shape
+    decay = 1.0 - 2.0 * float(np.float32(esr))
+    n_words = rows * LANES
+    T, J, Trow, JR, alane, wl, arow, wrow = _q1_consts(decay, rows)
+    R2 = rows // 2
+    zero = np.int32(0)
+    f32 = jnp.float32
+
+    def rep_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (zero,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    # pass 1: per-block summaries (wlr = reversed lane weights = alaneᵀ,
+    # wrowr = reversed row weights = arow — see _q1_sum_kernel)
+    bt = pl.pallas_call(
+        functools.partial(_q1_sum_kernel, esr=float(np.float32(esr)),
+                          decay=decay, rows=rows),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
+                         memory_space=pltpu.VMEM),
+            rep_spec((LANES, 1)), rep_spec((LANES, 1)),
+            rep_spec((R2, 1)), rep_spec((R2, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, LANES), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(u32, jnp.asarray(wl), jnp.asarray(alane.reshape(LANES, 1)),
+      jnp.asarray(wrow), jnp.asarray(arow))
+
+    from ..conditioning import correct_iq_block_prefix
+    a_blk = float(decay) ** n_words
+    off0 = off_in.astype(f32)
+    off_before, (A_loc, b_loc) = correct_iq_block_prefix(
+        f32(a_blk), bt[:, :, 0], off0)                    # [B, 2]
+    off_fin = A_loc * off0 + b_loc
+
+    offs_b = jnp.broadcast_to(off_before[:, :, None], (B, 2, LANES))
+    audio = pl.pallas_call(
+        functools.partial(_q1_apply_kernel, taps=taps,
+                          esr=float(np.float32(esr)), decay=decay,
+                          rows=rows, precise=precise),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 2, LANES), lambda i: (i, zero, zero),
+                         memory_space=pltpu.VMEM),         # offs
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
+                         memory_space=pltpu.VMEM),         # u32
+            rep_spec((LANES, LANES)), rep_spec((LANES, LANES)),
+            rep_spec((R2, R2)), rep_spec((R2, R2)),
+            rep_spec((1, LANES)), rep_spec((LANES, 1)), rep_spec((R2, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, LANES), lambda i: (i, zero, zero),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rows, LANES), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(offs_b, u32, jnp.asarray(T), jnp.asarray(J), jnp.asarray(Trow),
+      jnp.asarray(JR), jnp.asarray(alane), jnp.asarray(wl),
+      jnp.asarray(arow))
+    return audio, off_before, off_fin
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "esr", "interpret",
+                                             "precise"))
 def fused_nbfm_q1_u32_3d(u32: jax.Array, off_in: jax.Array, taps: tuple,
                          esr: float, interpret: bool = False,
                          precise: bool = True):
@@ -532,7 +698,9 @@ def fused_nbfm_q1_u32_3d(u32: jax.Array, off_in: jax.Array, taps: tuple,
     prefix; f32 rounding differs from the sequential order by ~1e-7
     relative, same as ops.conditioning.correct_iq).  The caller overwrites
     the first out_fir.H audio samples per block with the f64 head patch
-    (models.nbfm.BlockPipeline.fused_call_q1_u32_3d).
+    (models.nbfm.BlockPipeline.fused_call_q1_u32_3d).  Kept as the exact
+    sequential-order variant and ablation baseline; the production path
+    uses fused_nbfm_q1_twopass_u32_3d.
     """
     B, rows, lanes = u32.shape
     assert lanes == LANES and rows % 2 == 0, u32.shape

@@ -267,3 +267,32 @@ def test_fused_q2l_vs_c_binary(ref_binary):
     mine = np.asarray(got).ravel()
     n = 2 * (BUF // 4)  # deterministic non-final blocks
     assert snr_db(ref[:n], mine[:n]) > 110.0
+
+
+def test_fused_q1_twopass_matches_sequential():
+    """Two-pass q1 (parallel summaries + prefix + parallel apply) matches
+    the sequential single-pass kernel to f32 prefix noise, interpret
+    mode: audio, entering offsets, and the final carry."""
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.pallas.fused_nbfm import (
+        fused_nbfm_q1_twopass_u32_3d, fused_nbfm_q1_u32_3d)
+    cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0,
+                      buf_size=BUF, mode=0x10 | (1 << 2))
+    pipe = BlockPipeline(cfg, backend="xla")
+    taps = tuple(float(t) for t in pipe.out_fir.host_taps)
+    rng = np.random.default_rng(33)
+    B = 5
+    raw = rng.integers(0, 256, size=(B, BUF), dtype=np.uint8)
+    rows = (BUF // 4) // 128
+    u32 = jnp.asarray(raw.view(np.uint32).reshape(B, rows, 128))
+    off0 = jnp.asarray([3.0, -2.0], jnp.float32)
+    esr = float(pipe.esr)
+    a2, offs2, fin2 = fused_nbfm_q1_twopass_u32_3d(
+        u32, off0, taps, esr, interpret=True)
+    a1, offs1, fin1 = fused_nbfm_q1_u32_3d(
+        u32, off0, taps, esr, interpret=True)
+    np.testing.assert_allclose(np.asarray(offs2), np.asarray(offs1),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fin2), np.asarray(fin1),
+                               rtol=1e-5, atol=1e-3)
+    assert snr_db(np.asarray(a1).ravel(), np.asarray(a2).ravel()) > 110.0
