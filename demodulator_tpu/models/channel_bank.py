@@ -102,7 +102,7 @@ class ChannelBankPipeline:
         if self.method in ("auto", "pfb"):
             try:
                 pfb = PolyphaseChannelizer(D)
-                self.pfb_rows = jnp.asarray(
+                self.pfb_rows = np.asarray(
                     [pfb.channel_index(o, fs) for o in cfg.offsets_hz],
                     jnp.int32)
                 self.pfb = pfb
@@ -149,11 +149,14 @@ class ChannelBankPipeline:
         fr = np.asarray(cfg.offsets_hz, np.float64)[:, None] / fs
         theta = -2.0 * np.pi * (fr * n % 1.0)
         lut_shape = (C, T // stride, stride) if self.mixer_framed else (C, T)
-        self.lut_cos = jnp.asarray(np.cos(theta).reshape(lut_shape), dtype)
-        self.lut_sin = jnp.asarray(np.sin(theta).reshape(lut_shape), dtype)
+        # host numpy constants (see ops/fir_apply.py JRealFir); the
+        # sharded path device_puts them over the chan axis in shard_over
+        ndt = np.dtype(jnp.dtype(dtype).name)
+        self.lut_cos = np.cos(theta).reshape(lut_shape).astype(ndt)
+        self.lut_sin = np.sin(theta).reshape(lut_shape).astype(ndt)
         # per-block phasor rotation e^{−j·2π·f_c·T/fs}
         rot = -2.0 * np.pi * (fr[:, 0] * T % 1.0)
-        self.rot = jnp.asarray(np.stack([np.cos(rot), np.sin(rot)], -1),
+        self.rot = np.asarray(np.stack([np.cos(rot), np.sin(rot)], -1),
                                dtype)                       # [C, 2]
 
         self._build_audio_chain(dtype)
@@ -267,8 +270,16 @@ class ChannelBankPipeline:
             # planar even/odd planes (ops/channelizer.call_split — 8.5×
             # faster and ~100× closer to the f64 oracle than the
             # per-phase-slice path on v5e)
-            yer, yei, yor, yoi, chan_hist = self.pfb.call_split(
-                iq, state.chan_hist)
+            if 2 * self.pfb.C == 128:
+                # VPU branch filter + single DFT einsum: avoids the
+                # folded-operand path's Q·4C-dense MACs per sample
+                # (~14× the algorithmic cost at C=64) while keeping the
+                # same parity-plane contract
+                yer, yei, yor, yoi, chan_hist = self.pfb.call_split_vpu(
+                    iq, state.chan_hist)
+            else:
+                yer, yei, yor, yoi, chan_hist = self.pfb.call_split(
+                    iq, state.chan_hist)
             d = demod_ops.fm_demod_split(yer, yei, yor, yoi,
                                          fast=True)        # [M2, Cgrid]
             d = jnp.take(d.T, self.pfb_rows, axis=0)        # [C, Tc/2]

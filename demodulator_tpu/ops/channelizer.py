@@ -68,7 +68,9 @@ class PolyphaseChannelizer:
         self.P = h.size // C
         # taps for branch c multiply F[m−p, c] = x[(m−p)C − c]
         self._h_np = h.reshape(self.P, C)          # host copy: _split_mats
-        self.hmat = jnp.asarray(self._h_np, dtype)  # runs at TRACE time
+        # host numpy constant: a jnp constant would transfer device→host
+        # again at every jit LOWERING (see ops/fir_apply.py JRealFir)
+        self.hmat = self._h_np.astype(np.dtype(jnp.dtype(dtype).name))
         self.hist_len = self.P * C  # covers x[mC − j] down to j = PC−1
         self.dtype = dtype
         self._split_cache = None     # built lazily by call_split()
@@ -76,8 +78,9 @@ class PolyphaseChannelizer:
         k = np.arange(C)[:, None] * np.arange(C)[None, :]
         theta = 2.0 * np.pi * (k % C) / C
         self._cos_np, self._sin_np = np.cos(theta), np.sin(theta)
-        self.dft_cos = jnp.asarray(self._cos_np, dtype)  # [K=C, c=C]
-        self.dft_sin = jnp.asarray(self._sin_np, dtype)
+        ndt = np.dtype(jnp.dtype(dtype).name)
+        self.dft_cos = self._cos_np.astype(ndt)          # [K=C, c=C]
+        self.dft_sin = self._sin_np.astype(ndt)
 
     def init_hist(self, batch_shape=()) -> jax.Array:
         return jnp.zeros((*batch_shape, 2, self.hist_len), self.dtype)
@@ -194,6 +197,95 @@ class PolyphaseChannelizer:
         yoi = zI[..., 3*C:4*C] + zQ[..., 2*C:3*C]
         new_hist = xc[..., xc.shape[-1] - self.hist_len:]
         return yer, yei, yor, yoi, new_hist
+
+    def _split_vpu_consts(self):
+        """Host constants for call_split_vpu (2C == 128 only): per-lane
+        branch taps h2[P, 128] and the block DFT+parity matrix W4
+        [128, 4C] (same output column blocks as call_split)."""
+        if getattr(self, "_vpu_cache", None) is None:
+            C, P = self.C, self.P
+            assert 2 * C == 128, "call_split_vpu requires 2C == 128 lanes"
+            h = self._h_np                      # [P, C]
+            dt = np.dtype(self.dtype)
+            L = np.arange(128)
+            cc = C - 1 - (L % C)                # lane → branch c (flip
+            h2 = h[:, cc]                       # folded into host taps)
+            k = np.arange(C)
+            theta = 2.0 * np.pi * (k[None, :] * cc[:, None] % C) / C
+            W4 = np.zeros((128, 4 * C))
+            even, odd = L < C, L >= C
+            W4[even, 0:C] = np.cos(theta[even])
+            W4[even, C:2 * C] = np.sin(theta[even])
+            W4[odd, 2 * C:3 * C] = np.cos(theta[odd])
+            W4[odd, 3 * C:4 * C] = np.sin(theta[odd])
+            # flat alignment: pad xc' so window offsets hit lane residue 0
+            # for even p and 64 for odd p (see call_split_vpu)
+            lpad = (C - 1 - self.hist_len) % 128
+            total_mod = (lpad + self.hist_len) % 128
+            self._vpu_cache = (h2.astype(dt), W4.astype(dt), lpad,
+                               (128 - total_mod) % 128)
+        return self._vpu_cache
+
+    def call_split_vpu(self, iq: jax.Array, hist: jax.Array):
+        """call_split-compatible fast entry for 2C == 128 (e.g. C = 64).
+
+        The folded-operand call_split pays Q·4C dense MACs per input
+        sample (Q = ceil(P/2)+1) — ~14× the algorithmic P + 2C cost at
+        C = 64.  This entry restores the two-stage structure with TPU
+        layout kept aligned throughout:
+
+          * branch filter on the VPU: z'[m2·128 + L] =
+            Σ_p h2[p, L]·xc'[m2·128 + L + H' − 64p] — with the history
+            left-padded so H' ≡ C−1 (mod 128), every even-p window is a
+            frame-ROW slice (free) and odd-p windows come from one
+            half-lane-rotated copy (a single materialized concat);
+          * one [128, 4C] einsum (Precision.HIGH) applying the C-point
+            DFT to both frame parities at once — the commutator flip
+            lives in the HOST matrices (h2, W4), never on device.
+
+        Same returns as call_split: (yer, yei, yor, yoi [..., M2, C],
+        new_hist).  Validated against call_split/__call__ in
+        tests/test_channelizer.py.
+        """
+        C = self.C
+        h2, W4, lpad, rpad = self._split_vpu_consts()
+        T = iq.shape[-1]
+        assert iq.shape[-2] == 2 and T % 128 == 0, iq.shape
+        M2 = T // 128
+        lead = iq.shape[:-2]
+        P = self.P
+        parts = [jnp.broadcast_to(hist, (*lead, 2, self.hist_len)), iq]
+        if lpad:
+            parts.insert(0, jnp.zeros((*lead, 2, lpad), iq.dtype))
+        if rpad:
+            parts.append(jnp.zeros((*lead, 2, rpad), iq.dtype))
+        xc = jnp.concatenate(parts, axis=-1)
+        G = xc.shape[-1] // 128
+        xf = xc.reshape(*lead, 2, G, 128)          # aligned frame rows
+        # half-lane-rotated copy for odd p: xo[f, l] = xc[f·128 + 64 + l]
+        xo = jnp.concatenate([xf[..., :-1, 64:], xf[..., 1:, :64]], axis=-1)
+        Hp = lpad + self.hist_len                  # ≡ C−1 (mod 128)
+        zp = None
+        for p in range(P):
+            off = Hp - (C - 1) - p * C - (0 if p % 2 == 0 else 64)
+            assert off % 128 == 0, (p, off)
+            f0 = off // 128
+            src = xf if p % 2 == 0 else xo
+            win = jax.lax.slice_in_dim(src, f0, f0 + M2, axis=-2)
+            term = win * h2[p]
+            zp = term if zp is None else zp + term
+        y4 = jnp.einsum("...lfi,ik->...lfk", zp, W4,
+                        precision=jax.lax.Precision.HIGH,
+                        preferred_element_type=self.dtype)
+        zI, zQ = y4[..., 0, :, :], y4[..., 1, :, :]  # [..., M2, 4C]
+        yer = zI[..., 0:C] - zQ[..., C:2*C]
+        yei = zI[..., C:2*C] + zQ[..., 0:C]
+        yor = zI[..., 2*C:3*C] - zQ[..., 3*C:4*C]
+        yoi = zI[..., 3*C:4*C] + zQ[..., 2*C:3*C]
+        # new_hist: trailing hist_len input samples (pads excluded)
+        nh = jax.lax.slice_in_dim(xc, lpad + T,
+                                  lpad + self.hist_len + T, axis=-1)
+        return yer, yei, yor, yoi, nh
 
     def channel_index(self, offset_hz: float, fs: float) -> int:
         """Grid index for a center-frequency offset (must be on the grid)."""

@@ -17,6 +17,11 @@ from .fir import RealFirOp, CplxFirOp
 __all__ = ["JRealFir", "JCplxFir"]
 
 
+def _np_of(dtype) -> np.dtype:
+    """numpy dtype for a jnp dtype (host-side constant storage)."""
+    return np.dtype(jnp.dtype(dtype).name)
+
+
 class JRealFir:
     """Device-ready real-filter operator (audio path)."""
 
@@ -31,12 +36,17 @@ class JRealFir:
         # minutes through the remote TPU tunnel, and the cause of the r3
         # REGRESSION.json warm-cache outliers
         self.host_taps = np.asarray(op.taps, np.float64)
-        self.taps = jnp.asarray(op.taps, dtype)
+        # ALL constants live as HOST numpy: a jnp array closed over by a
+        # jitted function is materialized back to the host at LOWERING
+        # time (mlir ir_constant → Array._value — a device→host transfer
+        # that intermittently stalls minutes through the remote TPU
+        # tunnel); numpy constants lower with zero device traffic
+        self.taps = np.asarray(op.taps, _np_of(dtype))
         # Dense head rows concentrate the recurrence's cancellation into one
         # dot product (coefficients ~1/k^2): evaluate them in f64 (tiny work)
-        self.head = jnp.asarray(op.head, jnp.float64)
-        self.y_coup = None if op.y_coup is None else jnp.asarray(op.y_coup,
-                                                                 jnp.float64)
+        self.head = np.asarray(op.head, np.float64)
+        self.y_coup = None if op.y_coup is None else np.asarray(op.y_coup,
+                                                                np.float64)
 
     def __call__(self, x: jax.Array, y_init: jax.Array | None = None) -> jax.Array:
         """x: [..., P] → y: [..., P].  y_init: [..., Ky] arena corruption."""
@@ -90,26 +100,27 @@ class JCplxFir:
         self.sos_len = op.sos_len
         self.dtype = dtype
         self.host_taps = np.asarray(op.taps, np.float64)  # see JRealFir
-        self.taps = jnp.asarray(op.taps, dtype)
+        # host numpy constants throughout — see JRealFir.__init__
+        self.taps = np.asarray(op.taps, _np_of(dtype))
         # dense corrections in f64 (see JRealFir): head, overrun, couplings
-        self.head = jnp.asarray(op.head, jnp.float64)
-        self.tail = jnp.asarray(op.tail, jnp.float64)
-        self.tail_alias = jnp.asarray(op.tail_alias, jnp.float64)
-        self.c_head = jnp.asarray(np.stack([op.c_head_i, op.c_head_q], -1),
-                                  jnp.float64)
+        self.head = np.asarray(op.head, np.float64)
+        self.tail = np.asarray(op.tail, np.float64)
+        self.tail_alias = np.asarray(op.tail_alias, np.float64)
+        self.c_head = np.asarray(np.stack([op.c_head_i, op.c_head_q], -1),
+                                 np.float64)
         self.host_c_int = np.array([op.c_int_i, op.c_int_q])  # see JRealFir
-        self.c_int = jnp.asarray(self.host_c_int, dtype)
-        self.c_tail = jnp.asarray(np.stack([op.c_tail_i, op.c_tail_q], -1),
-                                  jnp.float64)
+        self.c_int = np.asarray(self.host_c_int, _np_of(dtype))
+        self.c_tail = np.asarray(np.stack([op.c_tail_i, op.c_tail_q], -1),
+                                 np.float64)
         if y_coup is None:
             self.yc_head = self.yc_tail = None
         else:
             yc_head, yc_tail = y_coup
             # interleaved rows → [pairs, lane, K]
-            self.yc_head = jnp.asarray(
-                yc_head.reshape(-1, 2, yc_head.shape[1]), jnp.float64)
-            self.yc_tail = jnp.asarray(
-                yc_tail.reshape(-1, 2, yc_tail.shape[1]), jnp.float64)
+            self.yc_head = np.asarray(
+                yc_head.reshape(-1, 2, yc_head.shape[1]), np.float64)
+            self.yc_tail = np.asarray(
+                yc_tail.reshape(-1, 2, yc_tail.shape[1]), np.float64)
 
     def __call__(self, x: jax.Array, y_init: jax.Array | None = None):
         """x: [..., S, 2] complex-sample pairs → (y [..., S, 2],

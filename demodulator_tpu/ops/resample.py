@@ -124,7 +124,9 @@ class PolyResampler:
             ok = (j >= 0) & (j < P * self.M)
             G = np.zeros((s * stride, self.chunk), np.float64)
             G[ok] = hp[j[ok]]
-            self.gmats = [jnp.asarray(G[k * stride:(k + 1) * stride], dtype)
+            # host numpy constants (see ops/fir_apply.py JRealFir)
+            ndt = np.dtype(jnp.dtype(dtype).name)
+            self.gmats = [G[k * stride:(k + 1) * stride].astype(ndt)
                           for k in range(s)]
             self._hp = hp                # f64 padded taps, for framed()
             self._framed_mats = None     # built lazily by framed()
@@ -141,7 +143,8 @@ class PolyResampler:
         idx = self.hist_len * self.L - src
         ok = (idx >= 0) & (idx < K)
         gk[src[ok]] = taps[idx[ok]]
-        self.kernel = jnp.asarray(gk[None, None, :], dtype)
+        self.kernel = gk[None, None, :].astype(
+            np.dtype(jnp.dtype(dtype).name))
         # group delay of the symmetric taps, in output samples: the op
         # computes the exact global upfirdn y[m] = Σ_j h[mM − jL]·x[j]
         self.delay_out = (K - 1) / 2.0 / self.M

@@ -149,3 +149,30 @@ def test_call_split_streaming_continuity():
     for k in range(4):
         np.testing.assert_allclose(np.concatenate(parts[k], axis=0),
                                    np.asarray(whole[k]), atol=1e-5)
+
+
+def test_call_split_vpu_matches_call_split():
+    """call_split_vpu (C=64: VPU branch filter + single DFT einsum,
+    flips folded into host constants) == call_split, planes and
+    history, plus streaming continuity over 3 blocks."""
+    import jax.numpy as jnp
+    from demodulator_tpu.ops.channelizer import PolyphaseChannelizer
+    rng = np.random.default_rng(12)
+    C = 64
+    pfb = PolyphaseChannelizer(C)
+    T = 128 * 24
+    x = rng.normal(size=(2, 3 * T)).astype(np.float32) * 100
+    h0 = pfb.init_hist()
+    want = pfb.call_split(jnp.asarray(x), h0)
+    hv = h0
+    parts = [[] for _ in range(4)]
+    for b in range(3):
+        out = pfb.call_split_vpu(jnp.asarray(x[:, b * T:(b + 1) * T]), hv)
+        hv = out[4]
+        for k in range(4):
+            parts[k].append(np.asarray(out[k]))
+    for k in range(4):
+        got = np.concatenate(parts[k], axis=0)
+        np.testing.assert_allclose(got, np.asarray(want[k]),
+                                   rtol=1e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(hv), np.asarray(want[4]))
