@@ -37,7 +37,7 @@ def parse_args(argv):
               "deviation": "75000", "deemphasis": "75",
               "checkpoint": None, "checkpoint_every": "64", "resume": False,
               "metrics": False, "trace": None,
-              "bank": None, "channel_rate": "192000",
+              "bank": None, "channel_rate": "192000", "inputs": None,
               "shard_time": None, "shard_chan": None,
               "distributed": False, "shared_out": False, "backend": "auto",
               "block_seconds": None, "chunk_blocks": "16"}
@@ -63,7 +63,7 @@ def parse_args(argv):
                    "--checkpoint", "--checkpoint-every", "--trace",
                    "--bank", "--channel-rate", "--shard-time",
                    "--shard-chan", "--backend", "--block-seconds",
-                   "--chunk-blocks"):
+                   "--chunk-blocks", "--inputs"):
             i += 1
             if i >= len(argv):
                 raise SystemExit(f"option {a} requires an argument")
@@ -242,6 +242,80 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     return 0
 
 
+def _run_wbfm_bank(extras, oarg) -> int:
+    """--wbfm --inputs f1,..,fC: C independent WBFM stations (one IQ file
+    each, e.g. an SDR array) demodulated as ONE [C]-leading batch per
+    dispatch; station c writes <out>.st<c>.raw.  --shard-chan N places
+    the batch over an N-device chan mesh (models/wbfm.py shard_over —
+    zero-communication DP).  Stops at the shortest input's last full
+    block (streams advance in lockstep)."""
+    import numpy as np
+    import jax
+    from .models.wbfm import WbfmConfig, WbfmPipeline
+    paths = [p for p in extras["inputs"].split(",") if p]
+    C = len(paths)
+    if "-" in oarg:
+        print("--inputs requires a file -o (one output per station)",
+              file=sys.stderr)
+        return -1
+    wcfg = WbfmConfig(sample_rate=float(extras["iq_rate"]),
+                      audio_rate=float(extras["audio_rate"]),
+                      deviation=float(extras["deviation"]),
+                      deemphasis_us=float(extras["deemphasis"]),
+                      block_seconds=float(extras["block_seconds"])
+                      if extras["block_seconds"] else 0.0)
+    pipe = WbfmPipeline(wcfg)
+    state = pipe.init_state((C,))
+    in_sh = None
+    if extras["shard_chan"]:
+        nc = int(extras["shard_chan"])
+        if C % nc:
+            print("--shard-chan must divide the station count",
+                  file=sys.stderr)
+            return -1
+        from .parallel.mesh import make_demod_mesh
+        mesh = make_demod_mesh(n_time=1, n_chan=nc)
+        state, in_sh = pipe.shard_over(mesh, state)
+    fn = jax.jit(pipe.call_u16, donate_argnums=(0,))
+    bb = pipe.block_bytes
+    fins = [open(p, "rb") for p in paths]
+    outs = [open(f"{oarg}.st{c}.raw", "wb") for c in range(C)]
+    pending = None
+
+    def _write(dev_audio):
+        audio = np.asarray(dev_audio, dtype=np.float32)  # sync here
+        for c, f in enumerate(outs):
+            f.write(audio[c].tobytes())
+
+    try:
+        while True:
+            chunk = np.empty((C, bb), dtype=np.uint8)
+            short = False
+            for c, f in enumerate(fins):
+                got = f.readinto(memoryview(chunk[c]))
+                while got and got < bb:
+                    r = f.readinto(memoryview(chunk[c])[got:])
+                    if not r:
+                        break
+                    got += r
+                if got < bb:
+                    short = True
+            if short:
+                break
+            u16 = chunk.view(np.uint16)
+            dev = jax.device_put(u16, in_sh) if in_sh is not None else u16
+            state, audio = fn(state, dev)
+            if pending is not None:
+                _write(pending)  # one-block inflight window
+            pending = audio
+        if pending is not None:
+            _write(pending)
+    finally:
+        for f in fins + outs:
+            f.close()
+    return 0
+
+
 def main(argv=None) -> int:
     import os as _os
     import time as _time
@@ -266,6 +340,8 @@ def main(argv=None) -> int:
 
     # -i / -o: any argument containing '-' means stdin/stdout (strstr quirk)
     iarg, oarg = opts.get("i"), opts.get("o")
+    if extras["inputs"] and iarg is None:
+        iarg = extras["inputs"].split(",")[0]  # -i unused in bank modes
     if iarg is None or oarg is None:
         print("both -i and -o are required", file=sys.stderr)
         return -1
@@ -310,6 +386,8 @@ def main(argv=None) -> int:
                     print(f"checkpoint error: {e}", file=sys.stderr)
                     return -1
                 raise
+        if extras["wbfm"] and extras["inputs"]:
+            return _run_wbfm_bank(extras, oarg)
         if extras["shard_time"]:
             if extras["wbfm"]:
                 print("--shard-time is incompatible with --wbfm "

@@ -15,9 +15,11 @@ is the textbook broadcast-FM chain built from the framework's TPU ops:
       → deviation-normalized float32 audio in [-1, 1]
 
 All stages are stationary convolutions or elementwise maps — no sequential
-recurrence anywhere, so the whole chain jits to fused VPU/MXU work and
-shards over ('chan', 'time') meshes like the NBFM pipeline.  State is the
-overlap-save histories (continuous across blocks by construction).
+recurrence anywhere, so the whole chain jits to fused VPU/MXU work.  A
+[C]-leading multi-station batch shards over the mesh's `chan` axis with
+zero communication (WbfmPipeline.shard_over; CLI ``--wbfm --inputs
+f1,..,fC [--shard-chan N]``).  State is the overlap-save histories
+(continuous across blocks by construction).
 """
 from __future__ import annotations
 
@@ -252,3 +254,18 @@ class WbfmPipeline:
         else:
             deemph_hist = state.deemph_hist
         return WbfmState(chan_hist, audio_hist, deemph_hist), audio
+
+    # -- multi-station sharding -------------------------------------------
+    def shard_over(self, mesh, state: WbfmState):
+        """Multi-station DP: place a [C]-leading station batch's state over
+        the mesh's chan axis; returns (sharded_state, chan_sharding) for
+        jit donate/out_shardings.  Every stage is per-station (all
+        histories lead with the batch axis from init_state((C,))), so the
+        bank runs SPMD with zero communication — the same pattern as
+        channel_bank.shard_over's mixer path.  Used by the CLI's
+        ``--wbfm --inputs f1,..,fC [--shard-chan N]`` station bank."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import CHAN_AXIS
+        chan = NamedSharding(mesh, P(CHAN_AXIS))
+        state = jax.tree.map(lambda a: jax.device_put(a, chan), state)
+        return state, chan

@@ -142,3 +142,89 @@ def test_fused_u32_sharded_step_matches_xla(chunk, q):
     else:
         np.testing.assert_allclose(got.reshape(-1), want_fused,
                                    rtol=0, atol=2e-5)
+
+
+def test_wbfm_multistation_sharded_matches_unsharded():
+    """Multi-station WBFM bank: a [C]-leading batch sharded over the chan
+    axis (WbfmPipeline.shard_over — zero-communication DP) equals the
+    unsharded batch, blockwise over a 3-block stream (histories carry)."""
+    from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+    cfg = WbfmConfig(sample_rate=240000.0, audio_rate=48000.0,
+                     block_seconds=0.05)
+    pipe = WbfmPipeline(cfg)
+    C = 4
+    rng = np.random.default_rng(17)
+    blocks = rng.integers(0, 256, size=(3, C, pipe.block_bytes),
+                          dtype=np.uint8)
+
+    st = pipe.init_state((C,))
+    want = []
+    for b in blocks:
+        st, audio = pipe.call_u16(st, b.view(np.uint16))
+        want.append(np.asarray(audio))
+
+    mesh = make_demod_mesh(n_time=1, n_chan=C,
+                           devices=np.array(jax.devices()[:C]))
+    st_s = pipe.init_state((C,))
+    st_s, chan_sh = pipe.shard_over(mesh, st_s)
+    fn = jax.jit(pipe.call_u16, donate_argnums=(0,))
+    for k, b in enumerate(blocks):
+        dev = jax.device_put(b.view(np.uint16), chan_sh)
+        st_s, audio = fn(st_s, dev)
+        # the station axis stays distributed across the mesh's devices
+        assert len(audio.sharding.device_set) == C, audio.sharding
+        np.testing.assert_allclose(np.asarray(audio), want[k],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_wbfm_station_bank_cli():
+    """--wbfm --inputs f1,..,f4 --shard-chan 2 (subprocess, 2 virtual
+    devices): per-station outputs equal C independent single-station
+    WBFM runs (same pipeline, C=1)."""
+    import io
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+    from demodulator_tpu.runtime.stream import StreamProcessor
+    rng = np.random.default_rng(23)
+    C = 4
+    wcfg = WbfmConfig(sample_rate=240000.0, block_seconds=0.05)
+    probe = WbfmPipeline(wcfg)
+    nbytes = 3 * probe.block_bytes + 37      # partial tail dropped
+    tmp = tempfile.mkdtemp(prefix="wbfmbank", dir="/tmp")  # no '-' in paths
+    try:
+        paths = []
+        for c in range(C):
+            p = os.path.join(tmp, f"st{c}.iq")
+            with open(p, "wb") as f:
+                f.write(rng.integers(0, 256, nbytes, dtype=np.uint8)
+                        .tobytes())
+            paths.append(p)
+        out = os.path.join(tmp, "bank")
+        cwd = os.path.dirname(os.path.dirname(__file__))
+        env = {**os.environ,
+               "JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "demodulator_tpu", "-o", out,
+             "--wbfm", "--inputs", ",".join(paths),
+             "--iq-rate", "240000", "--block-seconds", "0.05",
+             "--shard-chan", "2", "-S", "96000", "-l", "12500"],
+            capture_output=True, env=env, cwd=cwd)
+        assert r.returncode == 0, r.stderr.decode()
+        ccfg = config_from_cli_opts({"S": "96000", "l": "12500"})
+        for c in range(C):
+            proc = StreamProcessor(ccfg, pipeline=WbfmPipeline(wcfg),
+                                   use_native=False)
+            single = io.BytesIO()
+            with open(paths[c], "rb") as f:
+                proc.run(f, single, tail_policy="drop")
+            got = np.fromfile(f"{out}.st{c}.raw", dtype=np.float32)
+            want = np.frombuffer(single.getvalue(), dtype=np.float32)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
