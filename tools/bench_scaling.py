@@ -146,6 +146,13 @@ def main(argv=None) -> int:
                     help="also measure end-to-end file→device→file wall "
                          "clock through ShardedStreamProcessor (host feed "
                          "included; time axis only) and report both numbers")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="per device count, also measure (a) the same "
+                         "total work on ONE device — the shared-core "
+                         "ceiling on virtual meshes; sharded_frac_of_1dev "
+                         "isolates sharding overhead from core contention "
+                         "— and (b) the fixed per-step dispatch cost on "
+                         "one block per shard")
     ap.add_argument("--e2e-chunks", type=int, default=6,
                     help="chunks of NB blocks in the e2e input file")
     ap.add_argument("--procs", type=int, default=0,
@@ -231,6 +238,48 @@ def main(argv=None) -> int:
             "msps": round(msps, 1), "efficiency": round(eff, 4),
             "backend": jax.default_backend(),
         }
+        if args.diagnose:
+            # (a) shared-core ceiling: the SAME total work on ONE device
+            # (unsharded).  On a virtual CPU mesh every device shares one
+            # host's cores, so thr(d devices) can never exceed this; the
+            # ratio `sharded_frac_of_1dev` therefore isolates the sharded
+            # step's own overhead (partitioning, collectives, per-shard
+            # dispatch) from core contention — it is the number that
+            # transfers to real ICI-attached chips, where the per-device
+            # `efficiency` column is the hardware claim instead.
+            from demodulator_tpu.models.nbfm import BlockPipeline
+            pipe1 = BlockPipeline(cfg, fast_atan2=args.fast_atan2)
+            flat = raw_np.reshape(nc * nb, n)
+            st1 = pipe1.init_state()
+            fn1 = jax.jit(pipe1.process_blocks)
+            dev0 = devices[0]
+            flat_d = jax.device_put(flat, dev0)
+            st1 = jax.device_put(st1, dev0)
+            out1 = fn1(st1, flat_d)
+            jax.block_until_ready(out1)
+            best1 = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                out1 = fn1(st1, flat_d)
+                jax.block_until_ready(out1)
+                best1 = min(best1, time.perf_counter() - t0)
+            msps1 = samples / best1 / 1e6
+            # (b) fixed per-step cost: the sharded step on ONE block per
+            # shard — at this size the wall time is dominated by dispatch
+            # + partition overhead, not data
+            tiny_np = raw_np[:, : (d if args.axis == "time" else 1)]
+            tiny = jax.device_put(tiny_np, NamedSharding(mesh, spec))
+            o2, a2 = sp(off0, tiny)
+            jax.block_until_ready(a2)
+            best_t = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                o2, a2 = sp(off0, tiny)
+                jax.block_until_ready(a2)
+                best_t = min(best_t, time.perf_counter() - t0)
+            line["msps_same_work_1dev"] = round(msps1, 1)
+            line["sharded_frac_of_1dev"] = round(msps / msps1, 3)
+            line["step_fixed_ms"] = round(best_t * 1e3, 2)
         if args.e2e and args.axis == "time":
             # end-to-end: the whole streaming path (ChunkReader on tmpfs →
             # sharded device step → /dev/null write), so host-feed
