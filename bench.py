@@ -328,19 +328,24 @@ def _memcpy_floor(B=256):
     return body, u32, B * n // 2, 2 * B * n
 
 
-def _measure_e2e(name, n_blocks=96, fast_atan2=True):
+def _measure_e2e(name, n_blocks=96, fast_atan2=True, backend="auto",
+                 pipeline_factory=None):
     """End-to-end file→device→file wall clock through StreamProcessor:
     the host-feed number the device-resident loops can't see (the
     reference's whole-process `time` runs, test.sh:57-59).  Input lives
     on tmpfs; output goes to /dev/null, so the measurement is read +
-    device round-trip + write-path overhead."""
+    device round-trip + write-path overhead.  ``backend`` forwards to
+    BlockPipeline (fused vs xla e2e rows); ``pipeline_factory`` swaps in
+    an extension pipeline (WBFM) with its own block size."""
     import os
     import tempfile
     from demodulator_tpu.config import DemodConfig
     from demodulator_tpu.runtime.stream import StreamProcessor
     cfg = DemodConfig(sample_rate=192000.0, lowpass_out=12500.0)
-    proc = StreamProcessor(cfg, fast_atan2=fast_atan2)
-    n = cfg.buf_size
+    proc = StreamProcessor(cfg, fast_atan2=fast_atan2, backend=backend,
+                           pipeline=pipeline_factory()
+                           if pipeline_factory else None)
+    n = proc.block_bytes
     rng = np.random.default_rng(7)
     data = rng.integers(0, 256, size=n_blocks * n, dtype=np.uint8).tobytes()
     d = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -378,6 +383,67 @@ def _measure_e2e(name, n_blocks=96, fast_atan2=True):
                 "round-trip limit of THIS host↔device link (a dev tunnel "
                 "here, PCIe on a real TPU VM); frac>1 means the inflight "
                 "window overlaps transfers beyond the serial bound.",
+    }
+
+
+def _measure_e2e_bank(n_blocks=12, n_chan=4):
+    """End-to-end wall clock of the --bank CLI loop body: tmpfs file →
+    u16 view → ChannelBankPipeline (PFB) → per-channel /dev/null writes,
+    with the CLI's one-block inflight window."""
+    import os
+    import tempfile
+    import jax
+    from demodulator_tpu.models.channel_bank import (ChannelBankConfig,
+                                                     ChannelBankPipeline)
+    fs = n_chan * 192000.0
+    offs = tuple((c - n_chan / 2) * 192000.0 for c in range(n_chan))
+    pipe = ChannelBankPipeline(ChannelBankConfig(
+        sample_rate=fs, channel_rate=192000.0, offsets_hz=offs,
+        lowpass_out=12500.0))
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 256, size=n_blocks * pipe.block_bytes,
+                        dtype=np.uint8)
+    d = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    fn = jax.jit(pipe.call_u16)
+
+    def run(path, sink):
+        state = pipe.init_state()
+        pending = None
+        with open(path, "rb") as fin:
+            while True:
+                raw = fin.read(pipe.block_bytes)
+                if len(raw) < pipe.block_bytes:
+                    break
+                u16 = np.frombuffer(raw, np.uint16)
+                state, audio = fn(state, u16)
+                if pending is not None:
+                    sink.write(np.asarray(pending).tobytes())
+                pending = audio
+            if pending is not None:
+                sink.write(np.asarray(pending).tobytes())
+
+    with tempfile.NamedTemporaryFile(dir=d, delete=False) as f:
+        path = f.name
+    try:
+        with open(path, "wb") as f:
+            f.write(data.tobytes())
+        with open(os.devnull, "wb") as devnull:
+            run(path, devnull)                      # warmup / compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(path, devnull)
+                best = min(best, time.perf_counter() - t0)
+    finally:
+        os.unlink(path)
+    msps = n_blocks * pipe.block_bytes / 2 / best / 1e6
+    return {
+        "metric": "iq_throughput_e2e_bank4_pfb",
+        "value": round(msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps * 1e6 / 192000.0, 1),
+        "note": "4-channel PFB bank, file→device→per-channel-write wall "
+                "clock (the --bank CLI loop body)",
     }
 
 
@@ -486,10 +552,32 @@ def main():
             if t == 2 * 256 * 262144 and "value" in r:
                 r["roofline"]["frac_of_measured_memcpy"] = round(
                     r["value"] / memcpy_msps, 3)
+    def _wbfm_pipe():
+        from demodulator_tpu.models.wbfm import WbfmConfig, WbfmPipeline
+        return WbfmPipeline(WbfmConfig(sample_rate=2.4e6))
+
+    # e2e surface: every CLI-reachable family gets a wall-clock row
+    # (VERDICT r3 next #7) — default fused, forced XLA, and the WBFM
+    # extension chain through the same StreamProcessor; the bank via its
+    # own per-channel-output loop below
+    e2e_rows = [
+        ("e2e_stream_q0", dict()),
+        ("e2e_stream_q0_xla", dict(backend="xla")),
+        ("e2e_stream_wbfm", dict(pipeline_factory=_wbfm_pipe, n_blocks=24)),
+    ]
+    for nm, kw in e2e_rows:
+        try:
+            r = _measure_e2e(nm, **kw)
+        except Exception as e:
+            r = {"metric": f"iq_throughput_{nm}", "error": repr(e)[:400]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(results, f, indent=1)
     try:
-        r = _measure_e2e("e2e_stream_q0")
+        r = _measure_e2e_bank()
     except Exception as e:
-        r = {"metric": "iq_throughput_e2e_stream_q0", "error": repr(e)[:400]}
+        r = {"metric": "iq_throughput_e2e_bank4_pfb", "error": repr(e)[:400]}
     results.append(r)
     print(json.dumps(r), flush=True)
     with open("BENCH_MATRIX.json", "w") as f:
