@@ -40,7 +40,7 @@ def parse_args(argv):
               "bank": None, "channel_rate": "192000", "inputs": None,
               "shard_time": None, "shard_chan": None,
               "distributed": False, "shared_out": False, "backend": "auto",
-              "block_seconds": None, "chunk_blocks": "16"}
+              "block_seconds": None, "chunk_blocks": "auto"}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -450,10 +450,15 @@ def main(argv=None) -> int:
             proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg))
             run_kw["tail_policy"] = extras["tail"] or "drop"
         else:
+            if extras["chunk_blocks"] == "auto":
+                # target ~4 MiB per device dispatch: 16 blocks at the
+                # default 256 KiB bufSize, more for small -b blocks
+                nb = max(1, min(256, (4 << 20) // cfg.buf_size))
+            else:
+                nb = max(1, int(extras["chunk_blocks"]))
             proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"],
                                    backend=extras["backend"],
-                                   chunk_blocks=max(
-                                       1, int(extras["chunk_blocks"])))
+                                   chunk_blocks=nb)
         if extras["metrics"]:
             from .utils.metrics import StreamMetrics
             run_kw["metrics"] = StreamMetrics(proc.block_bytes,

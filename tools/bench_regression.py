@@ -89,9 +89,12 @@ def main(argv=None) -> int:
                     "reference times a warm binary; this times a warm "
                     "compile cache)")
     ap.add_argument("--cooldown", type=float, default=15.0,
-                    help="seconds between CLI processes: the remote TPU "
-                    "tunnel wedges a client that starts before the "
-                    "previous one's session is torn down")
+                    help="minimum seconds between CLI processes: the "
+                    "remote TPU tunnel blocks a client that starts before "
+                    "the previous one's session is torn down, and teardown "
+                    "time scales with how much the previous process "
+                    "compiled — the harness therefore waits "
+                    "max(cooldown, 0.3×previous wall time)")
     args = ap.parse_args(argv)
 
     names = list(CONFIGS) if args.configs == "all" \
@@ -108,14 +111,14 @@ def main(argv=None) -> int:
             dst = os.path.join(d, f"{name}.raw")
             cfg_args = [a.replace("{d}", d) for a in CONFIGS[name]]
             for _ in range(args.warmup):
-                run_once(src, dst, cfg_args)
-                time.sleep(args.cooldown)
+                t, _ = run_once(src, dst, cfg_args)
+                time.sleep(max(args.cooldown, 0.3 * t))
             times, phases = [], []
             for _ in range(args.repeats):
                 t, ph = run_once(src, dst, cfg_args)
                 times.append(t)
                 phases.append(ph)
-                time.sleep(args.cooldown)
+                time.sleep(max(args.cooldown, 0.3 * t))
             best = min(times)
             print(json.dumps({
                 "config": name,
