@@ -154,9 +154,9 @@ def _inlpf(q=0, lowpass_in=True, B=256):
 
 
 def _q1(B=256):
-    """correctIq: fused kernel with the DC tracker chained through the
-    block sequence in VMEM scratch (XLA blocked-affine-prefix fallback
-    off-TPU)."""
+    """correctIq: two-pass fused kernels (parallel-grid summaries →
+    log-depth prefix → parallel-grid apply; XLA blocked-affine-prefix
+    fallback off-TPU).  Min traffic = input read twice + audio out."""
     import jax
     import jax.numpy as jnp
     from demodulator_tpu.config import DemodConfig
@@ -176,7 +176,7 @@ def _q1(B=256):
             st, x = carry
             st, audio = pipe.fused_call_q1_u32_3d(st, x)
             return st, jax.lax.bitcast_convert_type(audio, jnp.uint32)
-        return body, (st0, u32), B * n // 2, 2 * B * n
+        return body, (st0, u32), B * n // 2, 3 * B * n
     raw = jax.device_put(raw_np)
 
     def body(i, carry):
@@ -512,7 +512,11 @@ def main():
                     help="benchmark every hot config; write BENCH_MATRIX.json")
     args = ap.parse_args()
 
-    flagship = _measure("nbfm_q0_fused_fast", lambda: _flagship(True, q=0))
+    # headline: long loops — short ones sit inside the tunnel's dispatch
+    # jitter and can read tens of percent low/high (same rationale as the
+    # matrix rows)
+    flagship = _measure("nbfm_q0_fused_fast", lambda: _flagship(True, q=0),
+                        n_lo=20, n_hi=120)
     flagship_line = {
         "metric": "nbfm_demod_iq_throughput_per_chip",
         "value": flagship["value"],

@@ -270,16 +270,8 @@ class ChannelBankPipeline:
             # planar even/odd planes (ops/channelizer.call_split — 8.5×
             # faster and ~100× closer to the f64 oracle than the
             # per-phase-slice path on v5e)
-            if 2 * self.pfb.C == 128:
-                # VPU branch filter + single DFT einsum: avoids the
-                # folded-operand path's Q·4C-dense MACs per sample
-                # (~14× the algorithmic cost at C=64) while keeping the
-                # same parity-plane contract
-                yer, yei, yor, yoi, chan_hist = self.pfb.call_split_vpu(
-                    iq, state.chan_hist)
-            else:
-                yer, yei, yor, yoi, chan_hist = self.pfb.call_split(
-                    iq, state.chan_hist)
+            yer, yei, yor, yoi, chan_hist = self.pfb.call_split(
+                iq, state.chan_hist)
             d = demod_ops.fm_demod_split(yer, yei, yor, yoi,
                                          fast=True)        # [M2, Cgrid]
             d = jnp.take(d.T, self.pfb_rows, axis=0)        # [C, Tc/2]

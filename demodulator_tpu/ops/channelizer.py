@@ -227,12 +227,17 @@ class PolyphaseChannelizer:
         return self._vpu_cache
 
     def call_split_vpu(self, iq: jax.Array, hist: jax.Array):
-        """call_split-compatible fast entry for 2C == 128 (e.g. C = 64).
+        """call_split-compatible two-stage entry for 2C == 128 (C = 64).
 
-        The folded-operand call_split pays Q·4C dense MACs per input
-        sample (Q = ceil(P/2)+1) — ~14× the algorithmic P + 2C cost at
-        C = 64.  This entry restores the two-stage structure with TPU
-        layout kept aligned throughout:
+        NEGATIVE RESULT, kept for the record (docs/PERF_EXTENSIONS.md):
+        the folded-operand call_split pays Q·4C dense MACs per input
+        sample (~14× the algorithmic P + 2C cost at C = 64), so this
+        entry restores the two-stage structure — yet measures SLOWER on
+        v5e (885 vs 716 µs per 3.07 Msample block): the folded einsums
+        stream the MXU near-perfectly, while this path's P windowed
+        reads plus the half-lane-rotated copy are HBM-bandwidth-hungry
+        VPU work.  FLOP count is not the binding resource here;
+        call_split stays the production front.  Layout design:
 
           * branch filter on the VPU: z'[m2·128 + L] =
             Σ_p h2[p, L]·xc'[m2·128 + L + H' − 64p] — with the history

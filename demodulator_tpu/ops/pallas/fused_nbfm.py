@@ -386,6 +386,16 @@ def _dot_hi(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _dot_1p(a, b):
+    """Single-pass (DEFAULT bf16) dot: EXACT when one operand is a 0/1
+    permutation matrix and the other holds integers ≤ 255 (raw bytes) —
+    bf16's 8 significand bits represent them without rounding.  6× less
+    MXU time than the HIGHEST 6-pass split the f32 mirrors need."""
+    return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+
 def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
              arow_ref, *, taps, esr, decay, rows, precise):
     """Shared per-block correctIq → demod → FIR body.
@@ -414,15 +424,23 @@ def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
     J = j_ref[...]                           # [128, 128] anti-identity
     JR = jr_ref[...]                         # [R2, R2] anti-identity
 
-    def mirror(x):                           # rows+lanes reverse, on the MXU
+    def mirror_b(x):   # rows+lanes reverse of BYTE planes: 1-pass exact
+        return _dot_1p(JR, _dot_1p(x, J))
+
+    def mirror_x(x):   # f32 planes need the 6-pass exact split
         return _dot_hi(JR, _dot_hi(x, J))
 
     # mirrored back planes in front (v) coordinates: back word n-1-v holds
-    # steps (2v+1, 2v) — byte-pair order swapped vs the front word
-    aBm = mirror(aB)                         # I of step 2v+1
-    bBm = mirror(bB)                         # Q of step 2v+1
-    cBm = mirror(cB)                         # I of step 2v
-    dBm = mirror(dB)                         # Q of step 2v
+    # steps (2v+1, 2v) — byte-pair order swapped vs the front word.  Byte
+    # ROLES within a word survive the word permutation, so the whole back
+    # half is conditioned AND demodulated in mirrored coordinates and only
+    # the scalar audio plane is mirrored back — 4 byte mirrors (1-pass,
+    # exact for integers ≤255) + 1 f32 mirror instead of the previous 8
+    # f32 mirrors: the kernel's dominant MXU cost measured on v5e
+    aBm = mirror_b(aB)                       # I of step 2v+1
+    bBm = mirror_b(bB)                       # Q of step 2v+1
+    cBm = mirror_b(cB)                       # I of step 2v
+    dBm = mirror_b(dB)                       # Q of step 2v
 
     e = f32(esr)
     ad = f32(decay)                          # a = 1 - 2·esr per pair-step
@@ -449,24 +467,26 @@ def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
     off1I = ad * offwI + s0I                 # state entering step 2v+1
     off1Q = ad * offwQ + s0Q
 
-    # conditioned planes; back words subtract MIRRORED offsets
+    # conditioned planes — front in stream order, back in MIRRORED order
+    # (offsets are already in mirrored/front coordinates there)
     aFc = aF - offwI
     bFc = bF - offwQ
     cFc = cF - off1I
     dFc = dF - off1Q
-    aBc = aB - mirror(off1I)
-    bBc = bB - mirror(off1Q)
-    cBc = cB - mirror(offwI)
-    dBc = dB - mirror(offwQ)
-    ac = jnp.concatenate([aFc, aBc], axis=0)
-    bc = jnp.concatenate([bFc, bBc], axis=0)
-    cc = jnp.concatenate([cFc, cBc], axis=0)
-    dc = jnp.concatenate([dFc, dBc], axis=0)
+    aBc = aBm - off1I
+    bBc = bBm - off1Q
+    cBc = cBm - offwI
+    dBc = dBm - offwQ
 
-    zr = ac * cc + bc * dc
-    zj = bc * cc - ac * dc
-    x = _atan2_fast_recip(zj, zr, precise)
-    x = jnp.where(jnp.isnan(x), f32(0.0), x)
+    def disc(a_, b_, c_, d_):
+        zr = a_ * c_ + b_ * d_
+        zj = b_ * c_ - a_ * d_
+        x_ = _atan2_fast_recip(zj, zr, precise)
+        return jnp.where(jnp.isnan(x_), f32(0.0), x_)
+
+    x = jnp.concatenate(
+        [disc(aFc, bFc, cFc, dFc), mirror_x(disc(aBc, bBc, cBc, dBc))],
+        axis=0)
     return _audio_fir(x, taps, rows), rsI, rsQ
 
 
