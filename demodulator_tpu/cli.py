@@ -124,14 +124,29 @@ def _enable_compile_cache():
         pass  # cache is best-effort
 
 
+def _resolve_chunk_blocks(extras, block_bytes: int) -> int:
+    """--chunk-blocks auto → ~4 MiB per device dispatch (the NBFM paths'
+    target); explicit N is clamped to ≥ 1."""
+    if extras["chunk_blocks"] == "auto":
+        return max(1, min(256, (4 << 20) // block_bytes))
+    return max(1, int(extras["chunk_blocks"]))
+
+
 def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     """--bank f1,f2,...: channel-bank mode (models/channel_bank.py).  The -o
     argument is a filename template; each channel writes <out>.ch<N>.raw
     (stdout is refused — N parallel streams don't interleave usefully).
-    --checkpoint/--resume and --metrics work like the single-stream modes."""
+    --checkpoint/--resume and --metrics work like the single-stream modes.
+
+    Dispatch is chunked like the NBFM paths (--chunk-blocks auto ≈ 4 MiB
+    per device call): NB blocks per jit via lax.scan over the block axis —
+    the identical op sequence the per-block loop runs, so output is
+    byte-identical — which amortizes the ~1-2 ms/dispatch host cost the
+    one-block loop paid per ~400 KiB block (the reference's single uniform
+    consumer loop, src/matrix.c:178-280, has no such per-call cost)."""
     import numpy as np
     from .models.channel_bank import ChannelBankConfig, ChannelBankPipeline
-    from .runtime.stream import make_reader
+    from .runtime.stream import ChunkReader, _seek_or_skip
     if "-" in oarg:
         print("--bank requires a file -o (one output per channel)",
               file=sys.stderr)
@@ -147,6 +162,7 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
                              block_seconds=float(extras["block_seconds"])
                              if extras["block_seconds"] else 0.0)
     import jax
+    import jax.numpy as jnp
     pipe = ChannelBankPipeline(bcfg)
     state = pipe.init_state()
     if extras["shard_chan"]:
@@ -161,11 +177,16 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
         from .parallel.mesh import make_demod_mesh
         mesh = make_demod_mesh(n_time=1, n_chan=nc)
         state, _ = pipe.shard_over(mesh, state)
-    fn = jax.jit(pipe.call_u16)
+    NB = _resolve_chunk_blocks(extras, pipe.block_bytes)
+    fn1 = jax.jit(pipe.call_u16)
+    fn_nb = (jax.jit(lambda st, u16s: jax.lax.scan(pipe.call_u16, st, u16s))
+             if NB > 1 else None)
+    out_dtype = cfg.np_dtype()
     blocks = 0
     byte_offset = 0
     ck = extras["checkpoint"]
     ck_every = max(1, int(extras["checkpoint_every"]))
+    ck_every_chunks = max(1, ck_every // NB)
     open_mode = "wb"
     if extras["resume"]:
         if not ck:
@@ -178,61 +199,77 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     if extras["metrics"]:
         from .utils.metrics import StreamMetrics
         metrics = StreamMetrics(pipe.block_bytes, pipe.block_bytes // 2)
+    snap_fn = (jax.jit(lambda s: jax.tree.map(jnp.copy, s)) if ck else None)
     outs = [open(f"{oarg}.ch{c}.raw", open_mode)
             for c in range(len(offsets))]
     try:
-        reader = make_reader(fin, pipe.block_bytes,
-                             tail_policy=extras["tail"] or "drop",
-                             offset=byte_offset)
-        done = 0  # blocks since (re)start — byte_offset already covers the rest
+        if byte_offset:
+            _seek_or_skip(fin, byte_offset)
+        reader = ChunkReader(fin, pipe.block_bytes, NB,
+                             tail_policy=extras["tail"] or "drop")
+        done = 0  # blocks since (re)start — byte_offset already covers
+        done_chunks = 0
 
-        def _write(dev_audio):
-            audio = np.asarray(dev_audio, dtype=np.float32)  # sync here
-            for c, f in enumerate(outs):
-                f.write(audio[c].tobytes())
-            if metrics is not None:
-                # count at materialization (post-sync), not dispatch: with
-                # the inflight window a dispatched block may still be
-                # computing on device
-                metrics.block_done()
-
-        pending = None  # one-block inflight window: jit dispatch is async,
-        # so materializing block c only AFTER dispatching c+1 overlaps the
-        # host read + file writes with device compute (the single-stream
-        # StreamProcessor's window, stream.py)
-        for raw in reader:
-            # zero-copy u16 view of the block (low byte = I): skips the
-            # device-side u8→u16 bitcast relayout (models/channel_bank.py
-            # call_u16 docstring)
-            u16 = np.ascontiguousarray(raw).view(np.uint16)
-            state, audio = fn(state, u16)
-            if pending is not None:
-                _write(pending)
-            pending = audio
-            done += 1
-            blocks += 1
-            if ck and done % ck_every == 0:
-                # flush the window first: the checkpoint's byte_offset
-                # asserts everything before it was written
-                if pending is not None:
-                    _write(pending)
-                    pending = None
-                # materialize device state only at checkpoint boundaries
-                # (a per-block sync would serialize dispatch)
-                state_h = jax.tree.map(np.asarray, state)
-                from .runtime.checkpoint import save_checkpoint
-                save_checkpoint(ck, state_h,
-                                byte_offset=byte_offset
-                                + done * pipe.block_bytes,
-                                blocks=blocks, cfg=bcfg)
-        if pending is not None:
-            _write(pending)
-        if ck:
+        def ckpt(state_h):
             from .runtime.checkpoint import save_checkpoint
-            save_checkpoint(ck, jax.tree.map(np.asarray, state),
+            save_checkpoint(ck, jax.tree.map(np.asarray, state_h),
                             byte_offset=byte_offset
                             + done * pipe.block_bytes,
                             blocks=blocks, cfg=bcfg)
+
+        def _write(item):
+            nonlocal blocks, done, done_chunks
+            dev_audio, nb, snap = item
+            audio = np.asarray(dev_audio, dtype=out_dtype)  # sync here
+            if audio.ndim == 2:          # per-block [C, A]
+                audio = audio[None]
+            for c, f in enumerate(outs):
+                # [NB, A] per channel: block-sequential = channel stream
+                f.write(np.ascontiguousarray(audio[:, c]).tobytes())
+            blocks += nb
+            done += nb
+            done_chunks += 1
+            if metrics is not None:
+                # count at materialization (post-sync), not dispatch: with
+                # the inflight window a dispatched chunk may still be
+                # computing on device
+                metrics.block_done(nb)
+            if snap is not None:
+                ckpt(snap)
+
+        pending = None  # one-chunk inflight window: jit dispatch is async,
+        # so materializing chunk c only AFTER dispatching c+1 overlaps the
+        # host read + file writes with device compute (the single-stream
+        # StreamProcessor's window, stream.py)
+        tail_chunk = None
+        dispatched = 0
+        for chunk in reader:
+            if len(chunk) < NB:
+                tail_chunk = chunk
+                break
+            # zero-copy u16 view of the blocks (low byte = I): skips the
+            # device-side u8→u16 bitcast relayout (models/channel_bank.py
+            # call_u16 docstring)
+            u16 = np.ascontiguousarray(chunk).view(np.uint16)
+            if NB == 1:
+                state, audio = fn1(state, u16[0])
+            else:
+                state, audio = fn_nb(state, u16)
+            dispatched += 1
+            snap = (snap_fn(state) if snap_fn is not None
+                    and dispatched % ck_every_chunks == 0 else None)
+            if pending is not None:
+                _write(pending)
+            pending = (audio, NB, snap)
+        if pending is not None:
+            _write(pending)
+        if tail_chunk is not None:
+            for raw in tail_chunk:
+                u16 = np.ascontiguousarray(raw).view(np.uint16)
+                state, audio = fn1(state, u16)
+                _write((audio, 1, None))
+        if ck:
+            ckpt(state)
     finally:
         for f in outs:
             f.close()
@@ -242,16 +279,23 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
     return 0
 
 
-def _run_wbfm_bank(extras, oarg) -> int:
+def _run_wbfm_bank(cfg, extras, oarg) -> int:
     """--wbfm --inputs f1,..,fC: C independent WBFM stations (one IQ file
     each, e.g. an SDR array) demodulated as ONE [C]-leading batch per
     dispatch; station c writes <out>.st<c>.raw.  --shard-chan N places
     the batch over an N-device chan mesh (models/wbfm.py shard_over —
     zero-communication DP).  Stops at the shortest input's last full
-    block (streams advance in lockstep)."""
+    block (streams advance in lockstep).
+
+    Runtime-feature parity with every other CLI family (feature table:
+    docs/ARCHITECTURE.md): --checkpoint/--resume (per-station byte offset
+    is common — streams advance in lockstep), --metrics, and output width
+    from --precision (cfg.np_dtype(), like the single-station path)."""
     import numpy as np
     import jax
+    import jax.numpy as jnp
     from .models.wbfm import WbfmConfig, WbfmPipeline
+    from .runtime.stream import _seek_or_skip
     paths = [p for p in extras["inputs"].split(",") if p]
     C = len(paths)
     if "-" in oarg:
@@ -276,18 +320,60 @@ def _run_wbfm_bank(extras, oarg) -> int:
         from .parallel.mesh import make_demod_mesh
         mesh = make_demod_mesh(n_time=1, n_chan=nc)
         state, in_sh = pipe.shard_over(mesh, state)
-    fn = jax.jit(pipe.call_u16, donate_argnums=(0,))
+    out_dtype = cfg.np_dtype()
     bb = pipe.block_bytes
+    blocks = 0          # lockstep block rounds emitted (all stations)
+    byte_offset = 0     # per-station consumed bytes
+    ck = extras["checkpoint"]
+    ck_every = max(1, int(extras["checkpoint_every"]))
+    open_mode = "wb"
+    if extras["resume"]:
+        if not ck:
+            print("--resume requires --checkpoint", file=sys.stderr)
+            return -1
+        from .runtime.checkpoint import load_checkpoint
+        state, byte_offset, blocks = load_checkpoint(ck, state, cfg=wcfg)
+        if in_sh is not None:
+            state = jax.tree.map(lambda a: jax.device_put(a, in_sh), state)
+        open_mode = "ab"
+    metrics = None
+    if extras["metrics"]:
+        from .utils.metrics import StreamMetrics
+        metrics = StreamMetrics(C * bb, C * (bb // 2))
+    # donation consumes the incoming state buffer, so checkpoint snapshots
+    # are ASYNC on-device copies dispatched before the next call (the
+    # StreamProcessor pattern) and materialize only inside ckpt()
+    fn = jax.jit(pipe.call_u16, donate_argnums=(0,))
+    snap_fn = (jax.jit(lambda s: jax.tree.map(jnp.copy, s)) if ck else None)
     fins = [open(p, "rb") for p in paths]
-    outs = [open(f"{oarg}.st{c}.raw", "wb") for c in range(C)]
+    outs = [open(f"{oarg}.st{c}.raw", open_mode) for c in range(C)]
     pending = None
+    done = 0  # block rounds since (re)start
 
-    def _write(dev_audio):
-        audio = np.asarray(dev_audio, dtype=np.float32)  # sync here
+    def ckpt(state_h):
+        from .runtime.checkpoint import save_checkpoint
+        save_checkpoint(ck, jax.tree.map(np.asarray, state_h),
+                        byte_offset=byte_offset + done * bb,
+                        blocks=blocks, cfg=wcfg)
+
+    def _write(item):
+        nonlocal blocks, done
+        dev_audio, snap = item
+        audio = np.asarray(dev_audio, dtype=out_dtype)  # sync here
         for c, f in enumerate(outs):
             f.write(audio[c].tobytes())
+        blocks += 1
+        done += 1
+        if metrics is not None:
+            metrics.block_done()
+        if snap is not None:
+            ckpt(snap)
 
     try:
+        if byte_offset:
+            for f in fins:
+                _seek_or_skip(f, byte_offset)
+        dispatched = 0
         while True:
             chunk = np.empty((C, bb), dtype=np.uint8)
             short = False
@@ -305,14 +391,22 @@ def _run_wbfm_bank(extras, oarg) -> int:
             u16 = chunk.view(np.uint16)
             dev = jax.device_put(u16, in_sh) if in_sh is not None else u16
             state, audio = fn(state, dev)
+            dispatched += 1
+            snap = (snap_fn(state) if snap_fn is not None
+                    and dispatched % ck_every == 0 else None)
             if pending is not None:
                 _write(pending)  # one-block inflight window
-            pending = audio
+            pending = (audio, snap)
         if pending is not None:
             _write(pending)
+        if ck:
+            ckpt(state)
     finally:
         for f in fins + outs:
             f.close()
+    if metrics is not None:
+        import json as _json
+        print(_json.dumps(metrics.final()), file=sys.stderr)
     return 0
 
 
@@ -353,9 +447,12 @@ def main(argv=None) -> int:
         print("--checkpoint-every requires a positive integer",
               file=sys.stderr)
         return -1
-    fin = sys.stdin.buffer if "-" in iarg else open(iarg, "rb")
-    # bank mode manages its own per-channel outputs — never open/truncate -o
-    fout = None if extras["bank"] else (
+    # bank modes manage their own per-channel/per-station files — never
+    # open -i (wbfm bank reads its --inputs itself) or open/truncate -o
+    wbfm_bank = bool(extras["wbfm"] and extras["inputs"])
+    fin = None if wbfm_bank else (
+        sys.stdin.buffer if "-" in iarg else open(iarg, "rb"))
+    fout = None if (extras["bank"] or wbfm_bank) else (
         sys.stdout.buffer if "-" in oarg else open(oarg, "wb"))
     if extras["distributed"]:
         if not extras["shard_time"]:
@@ -377,8 +474,10 @@ def main(argv=None) -> int:
                   "checkpoint_path": extras["checkpoint"],
                   "checkpoint_every": ck_every,
                   "resume": extras["resume"]}
-        if extras["bank"]:
+        if extras["bank"] or wbfm_bank:
             try:
+                if wbfm_bank:
+                    return _run_wbfm_bank(cfg, extras, oarg)
                 return _run_bank(cfg, opts, extras, fin, oarg)
             except Exception as e:
                 from .runtime.checkpoint import CheckpointError
@@ -386,8 +485,6 @@ def main(argv=None) -> int:
                     print(f"checkpoint error: {e}", file=sys.stderr)
                     return -1
                 raise
-        if extras["wbfm"] and extras["inputs"]:
-            return _run_wbfm_bank(extras, oarg)
         if extras["shard_time"]:
             if extras["wbfm"]:
                 print("--shard-time is incompatible with --wbfm "
@@ -450,12 +547,9 @@ def main(argv=None) -> int:
             proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg))
             run_kw["tail_policy"] = extras["tail"] or "drop"
         else:
-            if extras["chunk_blocks"] == "auto":
-                # target ~4 MiB per device dispatch: 16 blocks at the
-                # default 256 KiB bufSize, more for small -b blocks
-                nb = max(1, min(256, (4 << 20) // cfg.buf_size))
-            else:
-                nb = max(1, int(extras["chunk_blocks"]))
+            # target ~4 MiB per device dispatch: 16 blocks at the
+            # default 256 KiB bufSize, more for small -b blocks
+            nb = _resolve_chunk_blocks(extras, cfg.buf_size)
             proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"],
                                    backend=extras["backend"],
                                    chunk_blocks=nb)
@@ -504,7 +598,7 @@ def main(argv=None) -> int:
         if trace_ctx:
             import jax
             jax.profiler.stop_trace()
-        if fin is not sys.stdin.buffer:
+        if fin is not None and fin is not sys.stdin.buffer:
             fin.close()
         if fout is not None and fout is not sys.stdout.buffer:
             fout.close()

@@ -586,9 +586,12 @@ class StreamProcessor:
         which made forced-XLA beat the fused backend end-to-end in the r3
         regression matrix.  Chunking amortizes it exactly like
         ShardedStreamProcessor: blocks are state-free in the compat profile
-        (SURVEY.md §1 fact 3) and the q1 DC tracker chains over the batch
-        axis in-kernel (fused) / via the block prefix (XLA
-        process_blocks), so output is byte-identical to per-block."""
+        (SURVEY.md §1 fact 3), so those paths are byte-identical to
+        per-block; q1's DC tracker chains over the batch axis via the
+        associative block prefix on BOTH backends (the production fused
+        kernel is the two-pass prefix design), which agrees with
+        per-block to fp tolerance (~1e-7 rel — the recurrence is
+        contracting), not bytes."""
         import jax
         self.cfg = cfg
         self._continuous = False
@@ -797,8 +800,9 @@ class StreamProcessor:
         """NB-blocks-per-dispatch streaming (the default on the NBFM
         paths): a background ChunkReader prefetches [NB, bb] chunks read
         with one readinto each, the jitted fn processes all NB blocks in
-        one device call (output bytes identical to per-block — blocks are
-        state-free, and q1's tracker chains over the batch axis), and an
+        one device call (byte-identical to per-block on the state-free
+        compat paths; q1's tracker chains over the batch axis via the
+        associative block prefix — fp-tolerance equal), and an
         ``inflight`` window of dispatched chunks overlaps host IO with
         device compute.  The stream tail (< NB whole blocks) falls back to
         per-block dispatch carrying the same state.  Replaces the

@@ -44,11 +44,12 @@ def test_chunked_matches_per_block(q, nblocks):
                         dtype=np.uint8).tobytes()
     a, b = _run(cfg, data, 4), _run(cfg, data, 1)
     if q == "1" and nblocks > 4:
-        # the XLA q1 path composes the affine DC-tracker prefix over the
-        # chunk's block axis — a different f32 association order than
-        # sequential per-block updates, so cross-chunk state agrees to fp
-        # tolerance, not bit-for-bit (the fused TPU kernel chains
-        # sequentially in-kernel and stays byte-identical)
+        # q1 composes the affine DC-tracker prefix over the chunk's block
+        # axis on BOTH backends (the production fused kernel is the
+        # two-pass prefix design, fused_nbfm_q1_twopass_u32_3d) — a
+        # different f32 association order than sequential per-block
+        # updates, so cross-chunk state agrees to fp tolerance, not
+        # bit-for-bit
         np.testing.assert_allclose(np.frombuffer(a, np.float32),
                                    np.frombuffer(b, np.float32),
                                    rtol=2e-5, atol=2e-5)
