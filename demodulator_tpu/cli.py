@@ -179,8 +179,26 @@ def _run_bank(cfg, opts, extras, fin, oarg) -> int:
         state, _ = pipe.shard_over(mesh, state)
     NB = _resolve_chunk_blocks(extras, pipe.block_bytes)
     fn1 = jax.jit(pipe.call_u16)
-    fn_nb = (jax.jit(lambda st, u16s: jax.lax.scan(pipe.call_u16, st, u16s))
-             if NB > 1 else None)
+    scan_u16 = lambda st, u16s: jax.lax.scan(pipe.call_u16, st, u16s)
+    fn_nb = jax.jit(scan_u16) if NB > 1 else None
+    if not extras["shard_chan"]:
+        # warm-start: serialized-executable cache (runtime/aot.py) skips
+        # trace+lower+compile on repeat invocations; sharded state keeps
+        # the plain jit (the executable bakes in input shardings)
+        from .runtime.aot import cached_pipeline_jit
+        T = pipe.block_bytes // 2
+        st_struct = jax.eval_shape(pipe.init_state)
+        c1, _ = cached_pipeline_jit(
+            pipe.call_u16, bcfg,
+            (st_struct, jax.ShapeDtypeStruct((T,), np.uint16)),
+            "ChannelBank.call_u16")
+        fn1 = c1 if c1 is not None else fn1
+        if NB > 1:
+            cn, _ = cached_pipeline_jit(
+                scan_u16, bcfg,
+                (st_struct, jax.ShapeDtypeStruct((NB, T), np.uint16)),
+                "ChannelBank.scan.call_u16")
+            fn_nb = cn if cn is not None else fn_nb
     out_dtype = cfg.np_dtype()
     blocks = 0
     byte_offset = 0
@@ -344,6 +362,16 @@ def _run_wbfm_bank(cfg, extras, oarg) -> int:
     # are ASYNC on-device copies dispatched before the next call (the
     # StreamProcessor pattern) and materialize only inside ckpt()
     fn = jax.jit(pipe.call_u16, donate_argnums=(0,))
+    if in_sh is None:
+        # warm-start executable cache (see _run_bank); sharded batches
+        # keep the plain jit
+        from .runtime.aot import cached_pipeline_jit
+        c, _ = cached_pipeline_jit(
+            pipe.call_u16, wcfg,
+            (jax.eval_shape(lambda: pipe.init_state((C,))),
+             jax.ShapeDtypeStruct((C, bb // 2), np.uint16)),
+            "Wbfm.bank.call_u16", donate_argnums=(0,))
+        fn = c if c is not None else fn
     snap_fn = (jax.jit(lambda s: jax.tree.map(jnp.copy, s)) if ck else None)
     fins = [open(p, "rb") for p in paths]
     outs = [open(f"{oarg}.st{c}.raw", open_mode) for c in range(C)]
@@ -544,15 +572,25 @@ def main(argv=None) -> int:
                               deemphasis_us=float(extras["deemphasis"]),
                               block_seconds=float(extras["block_seconds"])
                               if extras["block_seconds"] else 0.0)
-            proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg))
+            proc = StreamProcessor(cfg, pipeline=WbfmPipeline(wcfg),
+                                   aot=True)
             run_kw["tail_policy"] = extras["tail"] or "drop"
         else:
             # target ~4 MiB per device dispatch: 16 blocks at the
             # default 256 KiB bufSize, more for small -b blocks
             nb = _resolve_chunk_blocks(extras, cfg.buf_size)
+            if _phases is not None:
+                # force + attribute backend/tunnel session init separately
+                # from trace/compile (it otherwise lands in whichever jax
+                # call touches the backend first)
+                import jax
+                _tb = _time.perf_counter()
+                jax.devices()
+                _phases["backend_init_s"] = round(
+                    _time.perf_counter() - _tb, 3)
             proc = StreamProcessor(cfg, fast_atan2=extras["fast_atan2"],
                                    backend=extras["backend"],
-                                   chunk_blocks=nb)
+                                   chunk_blocks=nb, aot=True)
         if extras["metrics"]:
             from .utils.metrics import StreamMetrics
             run_kw["metrics"] = StreamMetrics(proc.block_bytes,
@@ -568,6 +606,12 @@ def main(argv=None) -> int:
                 # compile-cache misses and tunnel stalls land), and steady
                 # streaming, so regression outliers are attributable
                 import json as _json
+                if getattr(proc, "aot_hit", None) is not None:
+                    _phases["aot_hit"] = proc.aot_hit
+                    _phases["aot_s"] = round(proc.aot_s, 3)
+                if getattr(proc, "first_dispatch_s", None) is not None:
+                    _phases["first_dispatch_s"] = round(
+                        proc.first_dispatch_s, 3)
                 _phases["first_output_s"] = round(
                     getattr(proc, "first_output_s", None) or 0.0, 3)
                 _phases["total_s"] = round(_time.perf_counter() - _t0, 3)

@@ -573,7 +573,8 @@ class StreamProcessor:
 
     def __init__(self, cfg: DemodConfig, fast_atan2: bool = False,
                  inflight: int = 2, pipeline=None, use_native: bool = True,
-                 backend: str = "auto", chunk_blocks: int = 16):
+                 backend: str = "auto", chunk_blocks: int = 16,
+                 aot: bool = False):
         """``pipeline`` overrides the NBFM BlockPipeline with any per-block
         model exposing init_state() / __call__(state, raw) / block_bytes
         (e.g. models.wbfm.WbfmPipeline).  ``backend``: 'auto' | 'fused' |
@@ -591,11 +592,19 @@ class StreamProcessor:
         associative block prefix on BOTH backends (the production fused
         kernel is the two-pass prefix design), which agrees with
         per-block to fp tolerance (~1e-7 rel — the recurrence is
-        contracting), not bytes."""
+        contracting), not bytes.
+
+        ``aot``: warm-start via the serialized-executable cache
+        (runtime/aot.py) — the chunk-shaped jit is AOT-compiled in
+        __init__ and the pickled executable reused by later processes
+        (~10 ms load vs ~3.3 s trace+lower+compile-cache-hit through the
+        v5e tunnel); shapes other than the full chunk (stream tails)
+        fall back to the plain jit."""
         import jax
         self.cfg = cfg
         self._continuous = False
         self.chunk_blocks = 1
+        self.aot_hit = None   # True/False once aot was attempted
         if pipeline is None:
             self.pipe = BlockPipeline(cfg, fast_atan2=fast_atan2,
                                       backend=backend)
@@ -612,6 +621,13 @@ class StreamProcessor:
                 return (np.ascontiguousarray(raw).view(np.uint32)
                         .reshape(b, rows, 128))
 
+            def u32_flat(raw):
+                return (np.ascontiguousarray(raw).view(np.uint32)
+                        .reshape(raw.shape[0] if raw.ndim == 2 else 1, -1))
+
+            def u8_2d(raw):
+                return raw if raw.ndim == 2 else raw[None]
+
             if cfg.profile == "continuous":
                 # carry-state continuous filtering: conditioning stays
                 # per-block, the filters run stationary with a one-block
@@ -622,47 +638,50 @@ class StreamProcessor:
                 self._post_fn = jax.jit(self.pipe.continuous_post)
                 self._halo_reals = 2 * self.pipe.halo_pairs
                 self.fn = None
-            elif self.pipe._use_fused() and self.pipe._use_fused_3d_ok():
-                f32c = jax.jit(self.pipe.fused_call_u32_3d,
-                               donate_argnums=(0,))
-                self.fn = lambda st, raw: f32c(st, u32_3d(raw))
-                self.chunk_blocks = max(1, chunk_blocks)
+                self.inflight = max(1, inflight)
+                self.use_native = use_native
+                return
+            if self.pipe._use_fused() and self.pipe._use_fused_3d_ok():
+                inner, variant, conv = (self.pipe.fused_call_u32_3d,
+                                        "fused_3d", u32_3d)
             elif self.pipe._use_fused_inlpf():
                 # -L configs: whole chain fused, same zero-copy 3-D feed
-                f32c = jax.jit(self.pipe.fused_call_inlpf_u32_3d,
-                               donate_argnums=(0,))
-                self.fn = lambda st, raw: f32c(st, u32_3d(raw))
-                self.chunk_blocks = max(1, chunk_blocks)
+                inner, variant, conv = (self.pipe.fused_call_inlpf_u32_3d,
+                                        "inlpf_3d", u32_3d)
             elif self.pipe._use_fused_q2l():
                 # -q2 -L combined: both complex stages fused in one kernel
-                f32c = jax.jit(self.pipe.fused_call_q2l_u32_3d,
-                               donate_argnums=(0,))
-                self.fn = lambda st, raw: f32c(st, u32_3d(raw))
-                self.chunk_blocks = max(1, chunk_blocks)
+                inner, variant, conv = (self.pipe.fused_call_q2l_u32_3d,
+                                        "q2l_3d", u32_3d)
             elif self.pipe._use_fused():
                 # feed host-viewed uint32 (free numpy .view) so the device
                 # never pays the u8→u32 relayout (~1.9 ms per 64 MiB)
-                f32c = jax.jit(self.pipe.fused_call_u32, donate_argnums=(0,))
-                self.fn = lambda st, raw: f32c(
-                    st, np.ascontiguousarray(raw).view(np.uint32)
-                    .reshape(raw.shape[0] if raw.ndim == 2 else 1, -1))
-                self.chunk_blocks = max(1, chunk_blocks)
+                inner, variant, conv = (self.pipe.fused_call_u32,
+                                        "fused_flat", u32_flat)
             elif self.pipe._use_fused_q1():
-                # correctIq: fused kernel with the DC tracker chained in
-                # VMEM scratch over the batch (= block sequence) axis;
-                # same zero-copy u32 feed
-                fq1 = jax.jit(self.pipe.fused_call_q1_u32_3d,
-                              donate_argnums=(0,))
-                self.fn = lambda st, raw: fq1(st, u32_3d(raw))
-                self.chunk_blocks = max(1, chunk_blocks)
+                # correctIq: fused two-pass kernel (DC tracker chained over
+                # the batch = block-sequence axis); same zero-copy u32 feed
+                inner, variant, conv = (self.pipe.fused_call_q1_u32_3d,
+                                        "q1_3d", u32_3d)
             else:
                 # XLA fallback: process_blocks chains the q1 tracker over
                 # the block axis (blocked affine prefix) and is the plain
                 # batched __call__ everywhere else
-                fb = jax.jit(self.pipe.process_blocks, donate_argnums=(0,))
-                self.fn = lambda st, raw: fb(
-                    st, raw if raw.ndim == 2 else raw[None])
-                self.chunk_blocks = max(1, chunk_blocks)
+                inner, variant, conv = (self.pipe.process_blocks,
+                                        "xla_blocks", u8_2d)
+            self.chunk_blocks = NB = max(1, chunk_blocks)
+            jfn = jax.jit(inner, donate_argnums=(0,))
+            comp = None
+            if aot:
+                comp = self._aot_compile(inner, variant, conv, NB, rows,
+                                         fast_atan2, backend)
+
+            def fn(st, raw, _jfn=jfn, _comp=comp, _conv=conv, _nb=NB):
+                x = _conv(raw)
+                if _comp is not None and x.shape[0] == _nb:
+                    return _comp(st, x)
+                return _jfn(st, x)
+
+            self.fn = fn
         else:
             self.pipe = pipeline
             self.block_bytes = pipeline.block_bytes
@@ -670,12 +689,64 @@ class StreamProcessor:
                 # host-viewed uint16 (one complex sample per element):
                 # skips the device-side byte-pair pack (WBFM)
                 f16 = jax.jit(pipeline.call_u16)
-                self.fn = lambda st, raw: f16(
-                    st, np.ascontiguousarray(raw).view(np.uint16))
+                comp = None
+                if aot:
+                    import time as _time
+                    from .aot import cached_pipeline_jit
+                    t0 = _time.perf_counter()
+                    T = self.block_bytes // 2
+                    comp, loaded = cached_pipeline_jit(
+                        pipeline.call_u16,
+                        getattr(pipeline, "cfg", cfg),
+                        (jax.eval_shape(pipeline.init_state),
+                         jax.ShapeDtypeStruct((T,), np.uint16)),
+                        f"{type(pipeline).__name__}.call_u16")
+                    self.aot_s = _time.perf_counter() - t0
+                    self.aot_hit = loaded
+
+                def fn16(st, raw, _f=f16, _c=comp,
+                         _T=self.block_bytes // 2):
+                    u = np.ascontiguousarray(raw).view(np.uint16)
+                    if _c is not None and u.shape == (_T,):
+                        return _c(st, u)
+                    return _f(st, u)
+
+                self.fn = fn16
             else:
                 self.fn = jax.jit(pipeline.__call__)
         self.inflight = max(1, inflight)
         self.use_native = use_native
+
+    def _aot_compile(self, inner, variant: str, conv, NB: int, rows: int,
+                     fast_atan2: bool, backend: str):
+        """AOT-compile ``inner`` at the chunk shape through the
+        serialized-executable cache (runtime/aot.py).  Records aot_hit and
+        aot_s for the CLI's phase instrumentation."""
+        import time as _time
+        import jax
+        from .aot import cached_compile, aot_cache_dir
+        from .checkpoint import config_fingerprint
+        from .. import __version__
+        if aot_cache_dir() is None:
+            return None
+        t0 = _time.perf_counter()
+        cfg = self.cfg
+        st_struct = jax.eval_shape(self.pipe.init_state)
+        n4 = cfg.buf_size // 4
+        if variant in ("fused_3d", "inlpf_3d", "q2l_3d", "q1_3d"):
+            x_struct = jax.ShapeDtypeStruct((NB, rows, 128), np.uint32)
+        elif variant == "fused_flat":
+            x_struct = jax.ShapeDtypeStruct((NB, n4), np.uint32)
+        else:
+            x_struct = jax.ShapeDtypeStruct((NB, cfg.buf_size), np.uint8)
+        key = {"cfg": config_fingerprint(cfg), "variant": variant,
+               "fast_atan2": bool(fast_atan2), "backend": backend,
+               "pkg": __version__}
+        comp, loaded = cached_compile(inner, (st_struct, x_struct), key,
+                                      donate_argnums=(0,))
+        self.aot_s = _time.perf_counter() - t0
+        self.aot_hit = loaded
+        return comp
 
     def _make_reader(self, fin: BinaryIO, tail_policy: str,
                      offset: int = 0):
@@ -817,6 +888,8 @@ class StreamProcessor:
         self.first_output_s = None  # time to first written chunk: captures
         # trace+compile+first dispatch — lets the bench harness attribute
         # outliers to compile/tunnel stalls vs steady-state throughput
+        self.first_dispatch_s = None  # first fn() return: trace+compile
+        # (or AOT load already done in __init__) without the data movement
         if byte_offset:
             _seek_or_skip(fin, byte_offset)
         reader = ChunkReader(fin, self.block_bytes, NB,
@@ -859,6 +932,8 @@ class StreamProcessor:
                 tail_chunk = chunk
                 break
             state, audio = self.fn(state, chunk)
+            if self.first_dispatch_s is None:
+                self.first_dispatch_s = _time.perf_counter() - t_run0
             dispatched_chunks += 1
             snap = (snap_fn(state) if snap_fn is not None
                     and dispatched_chunks % ck_every_chunks == 0 else None)
