@@ -99,10 +99,18 @@ def cached_compile(fn, example_args, key_parts, donate_argnums=(),
             return None, False
         shapes = jax.tree.map(
             lambda x: (tuple(x.shape), str(x.dtype)), example_args)
+        # every DEMODULATOR_TPU_* toggle that can reroute the traced graph
+        # (e.g. DEMODULATOR_TPU_NO_FUSED_PFB) must key the executable —
+        # cache/telemetry paths don't affect tracing and are excluded
+        env = sorted((k, v) for k, v in os.environ.items()
+                     if k.startswith("DEMODULATOR_TPU_")
+                     and k not in ("DEMODULATOR_TPU_AOT_CACHE",
+                                   "DEMODULATOR_TPU_JIT_CACHE",
+                                   "DEMODULATOR_TPU_PHASES"))
         key = _key({"key": key_parts, "shapes": shapes,
                     "jax": jax.__version__, "platform": dev.platform,
                     "device": dev.device_kind, "src": _src_stamp(),
-                    "donate": tuple(donate_argnums)})
+                    "env": env, "donate": tuple(donate_argnums)})
         path = os.path.join(directory, key + ".pkl")
     except Exception:
         return None, False
