@@ -110,7 +110,15 @@ class WbfmPipeline:
         t1 = design_resampler_taps(
             L1, M1, fs, cutoff=min(0.5 * carson * 1.1, 0.45 * quad),
             atten_db=cfg.atten_db)
-        self.chan = PolyResampler(L1, M1, t1, dtype)
+        # "shift" conditioning yields integers in [-128, 127] — exactly
+        # representable in bf16 — so the decimator dots run the 2-pass
+        # operand-split mode (6 MXU passes → 2; the framed2 stage was 107
+        # of the 193 µs chain on v5e, docs/PERF_EXTENSIONS.md r5).  Audio
+        # SNR vs the f64 chain stays ≥ 94 dB (tests/test_wbfm.py).
+        chan_prec = ("split2_bf16"
+                     if cfg.conditioning == "shift" and dtype == jnp.float32
+                     else jax.lax.Precision.HIGHEST)
+        self.chan = PolyResampler(L1, M1, t1, dtype, precision=chan_prec)
 
         # stage 2: discriminator quad → quad/2 (ops.demod, 2:1 inherent)
         demod_rate = quad / 2.0
@@ -204,13 +212,19 @@ class WbfmPipeline:
         lead = u16.shape[:-1]
         bi = (u16 & jnp.uint16(0xFF)).astype(jnp.int32)
         bq = (u16 >> 8).astype(jnp.int32)
+        # split2 decimator: materialize the framed planes directly in bf16
+        # (lossless for the integer "shift" signal) — the decimator dots
+        # read bf16 operands anyway, so this halves the biggest
+        # intermediate's HBM write+read (19.2 → 9.6 MB per 1 s block)
+        lane_dt = (jnp.bfloat16
+                   if self._use_framed and self.chan._split2 else self.dtype)
         if self.cfg.conditioning == "normalize":
             denom = self.dtype(np.float32(2.0 / 255.0))
             xi = bi.astype(self.dtype) * denom - self.dtype(1.0)
             xq = bq.astype(self.dtype) * denom - self.dtype(1.0)
         else:
-            xi = jnp.where(bi == 255, -128, bi - 127).astype(self.dtype)
-            xq = jnp.where(bq == 255, -128, bq - 127).astype(self.dtype)
+            xi = jnp.where(bi == 255, -128, bi - 127).astype(lane_dt)
+            xq = jnp.where(bq == 255, -128, bq - 127).astype(lane_dt)
         if self._use_framed:
             # frame each lane BEFORE stacking: a barrier-pinned flat
             # [2, T] followed by the [2, R, stride] reshape is a tiled-

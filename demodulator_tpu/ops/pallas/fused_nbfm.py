@@ -396,6 +396,36 @@ def _dot_1p(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _dot_3p(a, b):
+    """Manual 3-pass split dot (≡ Precision.HIGH, which Mosaic's
+    dot_general rejects): both operands split bf16 hi+lo, the ~2^-34
+    lo·lo term dropped — ~1e-5 rel.  Used for the q1 offset-prefix dots,
+    whose HIGHEST 6-pass form was the kernel's single largest slice
+    (553 → 265 µs of a 1377 µs apply pass, r5 ablation in
+    docs/PERF_NBFM.md); 1e-5 of the ~127-count DC offset is ~1.3e-3
+    absolute on the conditioned signal (≈ −100 dB vs full scale)."""
+    f32 = jnp.float32
+    ah = a.astype(jnp.bfloat16).astype(f32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(f32)
+    bl = b - bh
+    return _dot_1p(ah, bh) + _dot_1p(al, bh) + _dot_1p(ah, bl)
+
+
+def _mirror_perm_split(x, m, left=False):
+    """Permutation dot (anti-identity m) on arbitrary f32 data via hi+lo
+    bf16 planes: each pass is EXACT (0/1 matrix × bf16 value), the only
+    error is the bf16(x − hi) residual rounding ~2^-17 rel — 2 one-pass
+    dots instead of a 6-pass HIGHEST split (the audio mirror measured
+    260 → 144 µs per apply pass, r5 ablation)."""
+    f32 = jnp.float32
+    xh = x.astype(jnp.bfloat16).astype(f32)
+    xl = x - xh
+    if left:
+        return _dot_1p(m, xh) + _dot_1p(m, xl)
+    return _dot_1p(xh, m) + _dot_1p(xl, m)
+
+
 def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
              arow_ref, *, taps, esr, decay, rows, precise):
     """Shared per-block correctIq → demod → FIR body.
@@ -427,8 +457,8 @@ def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
     def mirror_b(x):   # rows+lanes reverse of BYTE planes: 1-pass exact
         return _dot_1p(JR, _dot_1p(x, J))
 
-    def mirror_x(x):   # f32 planes need the 6-pass exact split
-        return _dot_hi(JR, _dot_hi(x, J))
+    def mirror_x(x):   # f32 planes: hi+lo split permutation (~2^-17 rel)
+        return _mirror_perm_split(_mirror_perm_split(x, J), JR, left=True)
 
     # mirrored back planes in front (v) coordinates: back word n-1-v holds
     # steps (2v+1, 2v) — byte-pair order swapped vs the front word.  Byte
@@ -452,16 +482,17 @@ def _q1_body(off, u, t_ref, j_ref, trow_ref, jr_ref, alane_ref, wl_ref,
     bwQ = ad * s0Q + s1Q
 
     # exclusive prefixes: lanes (Toeplitz T, ratio a²) then rows (Trow,
-    # ratio a^256); wl folds a row into its summary
+    # ratio a^256); wl folds a row into its summary.  3-pass split dots:
+    # the HIGHEST form was the kernel's largest slice (r5 ablation)
     T = t_ref[...]
     Trow = trow_ref[...]
     wl = wl_ref[...]                         # [128, 1]
-    LpI = _dot_hi(bwI, T)                    # [R2, 128] within-row prefix
-    LpQ = _dot_hi(bwQ, T)
-    rsI = _dot_hi(bwI, wl)                   # [R2, 1] row summaries
-    rsQ = _dot_hi(bwQ, wl)
-    RI = _dot_hi(Trow, rsI) + arow_ref[...] * offI   # state entering row r
-    RQ = _dot_hi(Trow, rsQ) + arow_ref[...] * offQ
+    LpI = _dot_3p(bwI, T)                    # [R2, 128] within-row prefix
+    LpQ = _dot_3p(bwQ, T)
+    rsI = _dot_3p(bwI, wl)                   # [R2, 1] row summaries
+    rsQ = _dot_3p(bwQ, wl)
+    RI = _dot_3p(Trow, rsI) + arow_ref[...] * offI   # state entering row r
+    RQ = _dot_3p(Trow, rsQ) + arow_ref[...] * offQ
     offwI = alane_ref[...] * RI + LpI        # state entering word (r, l)
     offwQ = alane_ref[...] * RQ + LpQ
     off1I = ad * offwI + s0I                 # state entering step 2v+1

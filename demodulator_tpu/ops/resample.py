@@ -83,10 +83,24 @@ class PolyResampler:
         """precision: MXU dot precision for the banded-matmul path.
         HIGHEST (6-pass, ~f32 exact) by default; callers whose stopband
         target is ≤ ~100 dB can pass HIGH (3-pass bf16, ~1e-6 rel error)
-        for ~2x on the dot-bound stages."""
+        for ~2x on the dot-bound stages.
+
+        ``precision="split2_bf16"`` (L == 1 banded path only): 2-pass
+        operand-split dots for inputs EXACTLY representable in bf16 — the
+        conditioned uint8 signal is integers in [-128, 127] (8 significand
+        bits suffice), so casting the signal operand is lossless and only
+        the taps split hi+lo; tap error ~2^-17 rel (~-100 dB stopband
+        perturbation).  6 → 2 MXU passes: measured 107 → 36 µs on the
+        WBFM channel decimator (v5e, docs/PERF_EXTENSIONS.md r5)."""
         self.precision = precision
+        self._split2 = precision == "split2_bf16"
         g = math.gcd(L, M)
         self.L, self.M = L // g, M // g
+        if self._split2 and self.L != 1:
+            # the upfirdn conv path has no operand-split form; HIGHEST is
+            # the accuracy-equivalent fallback
+            self.precision = jax.lax.Precision.HIGHEST
+            self._split2 = False
         taps = np.asarray(taps, np.float64)
         K = taps.shape[0]
         self.dtype = dtype
@@ -125,8 +139,7 @@ class PolyResampler:
             G = np.zeros((s * stride, self.chunk), np.float64)
             G[ok] = hp[j[ok]]
             # host numpy constants (see ops/fir_apply.py JRealFir)
-            ndt = np.dtype(jnp.dtype(dtype).name)
-            self.gmats = [G[k * stride:(k + 1) * stride].astype(ndt)
+            self.gmats = [self._cast_mat(G[k * stride:(k + 1) * stride])
                           for k in range(s)]
             self._hp = hp                # f64 padded taps, for framed()
             self._framed_mats = None     # built lazily by framed()
@@ -148,6 +161,29 @@ class PolyResampler:
         # group delay of the symmetric taps, in output samples: the op
         # computes the exact global upfirdn y[m] = Σ_j h[mM − jL]·x[j]
         self.delay_out = (K - 1) / 2.0 / self.M
+
+    def _cast_mat(self, g64: np.ndarray):
+        """Host tap matrix in its dot-ready form: dtype array, or an
+        (hi, lo) bf16 pair for the split2_bf16 mode."""
+        if self._split2:
+            import ml_dtypes
+            hi = g64.astype(ml_dtypes.bfloat16)
+            lo = (g64 - hi.astype(np.float64)).astype(ml_dtypes.bfloat16)
+            return (hi, lo)
+        return g64.astype(np.dtype(jnp.dtype(self.dtype).name))
+
+    def _dot(self, x, g):
+        """One banded-matmul piece: x [..., r, w] @ g [w, u]."""
+        if self._split2:
+            xb = x.astype(jnp.bfloat16)  # lossless: integer signal
+            hi = jnp.einsum("...rw,wu->...ru", xb, g[0],
+                            preferred_element_type=self.dtype)
+            lo = jnp.einsum("...rw,wu->...ru", xb, g[1],
+                            preferred_element_type=self.dtype)
+            return hi + lo
+        return jnp.einsum("...rw,wu->...ru", x, g,
+                          precision=self.precision,
+                          preferred_element_type=self.dtype)
 
     def out_len(self, T: int) -> int:
         assert (T * self.L) % self.M == 0, \
@@ -174,7 +210,7 @@ class PolyResampler:
             s = (P * M - 1 + (chunk - 1) * M) // stride + 1
             hr = max(-(-self.hist_len // stride), s - 1)
             hp = self._hp
-            mats = []
+            mats64 = []
             for k in range(s):
                 w = np.arange(stride)[:, None]
                 u = np.arange(chunk)[None, :]
@@ -182,12 +218,14 @@ class PolyResampler:
                 ok = (j >= 0) & (j < P * M)
                 G = np.zeros((stride, chunk), np.float64)
                 G[ok] = hp[j[ok]]
-                # cache HOST constants: jnp.asarray inside a jit trace
-                # yields a tracer, and caching a tracer on self poisons
-                # every later trace (UnexpectedTracerError on the second
-                # jit that reaches framed())
-                mats.append(np.asarray(G, np.dtype(self.dtype)))
-            self._framed_mats = (stride, s, hr, mats)
+                mats64.append(G)
+            # cache HOST constants: jnp.asarray inside a jit trace
+            # yields a tracer, and caching a tracer on self poisons
+            # every later trace (UnexpectedTracerError on the second
+            # jit that reaches framed())
+            self._framed_mats = (stride, s, hr,
+                                 [self._cast_mat(G) for G in mats64],
+                                 mats64)
         return self._framed_mats
 
     def framed(self, x_frames: jax.Array, hist: jax.Array):
@@ -202,25 +240,24 @@ class PolyResampler:
         the flattened input.
         """
         assert self.kernel is None and self.L == 1
-        stride, s, hr, mats = self._framed_geometry()
+        stride, s, hr, mats, _ = self._framed_geometry()
         *lead, R, st = x_frames.shape
         assert st == stride, (st, stride)
         H = self.hist_len
         hist_rows = jnp.pad(
             hist, [*[(0, 0)] * (hist.ndim - 1), (hr * stride - H, 0)]
-        ).reshape(*lead, hr, stride)
+        ).reshape(*lead, hr, stride).astype(x_frames.dtype)
         xr = jnp.concatenate([hist_rows, x_frames], axis=-2)  # [.., hr+R, st]
         y = None
         for k, gk in enumerate(mats):
-            z = jnp.einsum("...rw,wu->...ru", xr, gk,
-                           precision=self.precision,
-                           preferred_element_type=self.dtype)
+            z = self._dot(xr, gk)
             zk = jax.lax.slice_in_dim(z, hr - k, hr - k + R, axis=-2)
             y = zk if y is None else y + zk
-        # new history: last H samples of x (tiny flat slice)
+        # new history: last H samples of x (tiny flat slice; back to the
+        # carry dtype — exact for bf16 integer frames)
         tail_rows = -(-H // stride)
         tail = x_frames[..., R - tail_rows:, :].reshape(*lead, -1)
-        return y, tail[..., -H:]
+        return y, tail[..., -H:].astype(self.dtype)
 
     def framed2(self, x_frames: jax.Array, hist: jax.Array):
         """As :meth:`framed`, but the output arrives pre-split into its
@@ -237,34 +274,31 @@ class PolyResampler:
         while the column-split costs nothing."""
         assert self.kernel is None and self.L == 1
         assert self.chunk % 2 == 0
-        stride, s, hr, mats = self._framed_geometry()
+        stride, s, hr, mats, mats64 = self._framed_geometry()
         if self._framed_mats2 is None:
             # host-side column split (np arrays: trace-safe to cache)
-            self._framed_mats2 = ([m[:, 0::2].copy() for m in mats],
-                                  [m[:, 1::2].copy() for m in mats])
+            self._framed_mats2 = (
+                [self._cast_mat(m[:, 0::2].copy()) for m in mats64],
+                [self._cast_mat(m[:, 1::2].copy()) for m in mats64])
         mats_e, mats_o = self._framed_mats2
         *lead, R, st = x_frames.shape
         assert st == stride, (st, stride)
         H = self.hist_len
         hist_rows = jnp.pad(
             hist, [*[(0, 0)] * (hist.ndim - 1), (hr * stride - H, 0)]
-        ).reshape(*lead, hr, stride)
+        ).reshape(*lead, hr, stride).astype(x_frames.dtype)
         xr = jnp.concatenate([hist_rows, x_frames], axis=-2)
         ye = yo = None
         for k in range(s):
-            ze = jnp.einsum("...rw,wu->...ru", xr, mats_e[k],
-                            precision=self.precision,
-                            preferred_element_type=self.dtype)
-            zo = jnp.einsum("...rw,wu->...ru", xr, mats_o[k],
-                            precision=self.precision,
-                            preferred_element_type=self.dtype)
+            ze = self._dot(xr, mats_e[k])
+            zo = self._dot(xr, mats_o[k])
             zke = jax.lax.slice_in_dim(ze, hr - k, hr - k + R, axis=-2)
             zko = jax.lax.slice_in_dim(zo, hr - k, hr - k + R, axis=-2)
             ye = zke if ye is None else ye + zke
             yo = zko if yo is None else yo + zko
         tail_rows = -(-H // stride)
         tail = x_frames[..., R - tail_rows:, :].reshape(*lead, -1)
-        return ye, yo, tail[..., -H:]
+        return ye, yo, tail[..., -H:].astype(self.dtype)
 
     def __call__(self, x: jax.Array, hist: jax.Array):
         """x: [..., T] → (y [..., T·L/M], new_hist [..., hist_len])."""
@@ -292,9 +326,7 @@ class PolyResampler:
             xr = xcp.reshape(*lead, C + s, stride)
             y = None
             for k, gk in enumerate(self.gmats):
-                z = jnp.einsum("...rw,wu->...ru", xr, gk,
-                               precision=self.precision,
-                               preferred_element_type=self.dtype)
+                z = self._dot(xr, gk)
                 zk = jax.lax.slice_in_dim(z, k, k + C, axis=-2)
                 y = zk if y is None else y + zk
             y = y.reshape(*lead, C * chunk)[..., :Tout]

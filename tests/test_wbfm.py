@@ -161,3 +161,36 @@ def test_framed_and_fallback_paths_agree():
     audio_small = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(np.asarray(audio_big), audio_small,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_split2_decimator_accuracy():
+    """The 2-pass operand-split channel decimator (bf16 signal exact,
+    taps hi+lo — PolyResampler precision="split2_bf16") stays within
+    ~1e-5 of the 6-pass HIGHEST chain: audio SNR >= 90 dB on an FM
+    fixture.  v5e: 6 -> 2 MXU passes took the chain 193 -> 99 us/block
+    (docs/PERF_EXTENSIONS.md r5)."""
+    import jax
+    cfg = WbfmConfig(sample_rate=240000.0, block_seconds=0.1)
+    pipe_s = WbfmPipeline(cfg)
+    assert pipe_s.chan._split2, "split mode should engage for shift/f32"
+    pipe_h = WbfmPipeline(cfg)
+    from demodulator_tpu.ops.resample import PolyResampler
+    pipe_h.chan = PolyResampler(pipe_h.chan.L, pipe_h.chan.M,
+                                pipe_h.chan._hp,
+                                precision=jax.lax.Precision.HIGHEST)
+    raw, _ = synth_wbfm(240000.0, 60000.0, [(1000.0, 1.0)],
+                        2 * pipe_s.block_complex)
+    bb = pipe_s.block_bytes
+    st_s, st_h = pipe_s.init_state(), pipe_h.init_state()
+    outs, outh = [], []
+    for b in range(2):
+        u16 = raw[b * bb:(b + 1) * bb].view(np.uint16)
+        st_s, a_s = pipe_s.call_u16(st_s, u16)
+        st_h, a_h = pipe_h.call_u16(st_h, u16)
+        outs.append(np.asarray(a_s))
+        outh.append(np.asarray(a_h))
+    a_s, a_h = np.concatenate(outs), np.concatenate(outh)
+    err = a_s.astype(np.float64) - a_h.astype(np.float64)
+    snr = 10 * np.log10(np.mean(a_h.astype(np.float64) ** 2)
+                        / max(np.mean(err ** 2), 1e-300))
+    assert snr >= 90.0, snr
