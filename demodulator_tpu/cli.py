@@ -504,9 +504,18 @@ def main(argv=None) -> int:
                   "resume": extras["resume"]}
         if extras["bank"] or wbfm_bank:
             try:
-                if wbfm_bank:
-                    return _run_wbfm_bank(cfg, extras, oarg)
-                return _run_bank(cfg, opts, extras, fin, oarg)
+                rc = (_run_wbfm_bank(cfg, extras, oarg) if wbfm_bank
+                      else _run_bank(cfg, opts, extras, fin, oarg))
+                if _phases is not None and rc == 0:
+                    # bank families manage their own loops; a total-wall
+                    # phase line still lets the regression harness
+                    # attribute stalls (tools/bench_regression.py)
+                    import json as _json
+                    _phases["total_s"] = round(
+                        _time.perf_counter() - _t0, 3)
+                    print("PHASES " + _json.dumps(_phases),
+                          file=sys.stderr)
+                return rc
             except Exception as e:
                 from .runtime.checkpoint import CheckpointError
                 if isinstance(e, CheckpointError):

@@ -1,14 +1,29 @@
 #!/usr/bin/env python3
-"""Timed-run regression harness.
+"""Timed-run regression harness with stall-aware collection.
 
 The framework's equivalent of the reference's 3× repeated `time demodulator`
 matrix over option sets (test.sh:57-59,94-125; oldTest.sh:53-55,107-165):
 runs the real CLI end-to-end (file in → file out, includes compile-or-cache,
-host IO, device transfer) R times per config and reports min/median wall
-time and effective Msps as JSON lines, so perf regressions show up as
-diffs in CI logs.
+host IO, device transfer) until ``--repeats`` CLEAN runs agree, and reports
+their wall times and effective Msps as JSON lines.
 
-    python tools/bench_regression.py [--blocks 64] [--repeats 3] [--configs all]
+Stall handling (VERDICT r4 item 1): the remote-TPU tunnel sporadically
+wedges a client for 10-1600 s while the previous session tears down —
+a known environment artifact, not workload time.  The r4 harness let
+those runs poison ``median_s``; this version classifies each run from
+its phase split (DEMODULATOR_TPU_PHASES) and wall time:
+
+    stalled  ⇔  backend_init_s > stall-backend  (tunnel session wedge)
+             or  first_output_s > stall-first   (first-execute wedge)
+             or  wall > max(stall-wall-floor, 3 × best clean wall)
+
+Stalled runs are recorded in ``stalled_runs`` (wall + phases), a longer
+backoff is applied, and collection retries (bounded by --max-attempts)
+until ``repeats`` clean runs agree within --agree (default 25%) of the
+best.  A config that cannot produce enough clean runs reports what it
+got with ``"certified": false``.
+
+    python tools/bench_regression.py [--blocks 64] [--repeats 3]
 """
 from __future__ import annotations
 
@@ -56,12 +71,7 @@ CONFIGS = {
 
 
 def run_once(src: str, dst: str, args: list[str]) -> tuple[float, dict]:
-    """One timed CLI run → (wall seconds, phase dict).
-
-    DEMODULATOR_TPU_PHASES splits the wall time into build / first-output
-    (trace+compile — where cache misses and tunnel stalls land) / stream,
-    so an outlier run is attributable instead of corrupting the medians
-    silently (the r3 REGRESSION.json lesson)."""
+    """One timed CLI run → (wall seconds, phase dict)."""
     env = dict(os.environ, DEMODULATOR_TPU_PHASES="1")
     t0 = time.perf_counter()
     r = subprocess.run(
@@ -77,24 +87,92 @@ def run_once(src: str, dst: str, args: list[str]) -> tuple[float, dict]:
     return dt, phases
 
 
+def is_stalled(wall: float, ph: dict, clean_walls: list[float],
+               a) -> str | None:
+    """Classify a run; returns the stall reason or None (clean)."""
+    if ph.get("backend_init_s", 0.0) > a.stall_backend:
+        return f"backend_init {ph['backend_init_s']:.1f}s"
+    if ph.get("first_output_s", 0.0) > a.stall_first:
+        return f"first_output {ph['first_output_s']:.1f}s"
+    lim = a.stall_wall_floor
+    if clean_walls:
+        lim = max(lim, 3.0 * min(clean_walls))
+    if wall > lim:
+        return f"wall {wall:.1f}s > {lim:.1f}s"
+    return None
+
+
+def collect(src: str, dst: str, cfg_args: list[str], a) -> dict:
+    """Run one config until ``repeats`` clean runs agree within --agree."""
+    stalled: list[dict] = []
+    clean: list[tuple[float, dict]] = []
+    attempts = 0
+    # cache-priming warmups (never recorded; a stalled warmup still primes)
+    for _ in range(a.warmup):
+        t, ph = run_once(src, dst, cfg_args)
+        attempts += 1
+        time.sleep(max(a.cooldown, 0.3 * t))
+    while attempts < a.max_attempts:
+        t, ph = run_once(src, dst, cfg_args)
+        attempts += 1
+        reason = is_stalled(t, ph, [w for w, _ in clean], a)
+        if reason:
+            stalled.append({"wall_s": round(t, 3), "reason": reason,
+                            "phases": ph})
+            time.sleep(a.stall_backoff)
+            continue
+        clean.append((t, ph))
+        best = min(w for w, _ in clean)
+        good = [(w, p) for w, p in clean if w <= (1.0 + a.agree) * best]
+        if len(good) >= a.repeats:
+            clean = good
+            break
+        time.sleep(max(a.cooldown, 0.3 * t))
+    best = min((w for w, _ in clean), default=None)
+    good = ([(w, p) for w, p in clean if w <= (1.0 + a.agree) * best]
+            if best else [])
+    good = good[: a.repeats]
+    return {
+        "runs": [round(w, 3) for w, _ in good],
+        "median_s": round(statistics.median([w for w, _ in good]), 3)
+        if good else None,
+        "best_s": round(best, 3) if best else None,
+        "certified": len(good) >= a.repeats,
+        "attempts": attempts,
+        "stalled_runs": stalled,
+        "stream_s": [p.get("stream_s") for _, p in good],
+        "first_output_s": [p.get("first_output_s") for _, p in good],
+        "aot_hit": [p.get("aot_hit") for _, p in good],
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--blocks", type=int, default=64,
                     help="256 KiB blocks of random IQ per run")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="clean, mutually-agreeing runs required")
     ap.add_argument("--configs", default="all",
                     help="comma list of config names, or 'all'")
     ap.add_argument("--warmup", type=int, default=1,
                     help="unrecorded cache-priming runs per config (the "
                     "reference times a warm binary; this times a warm "
-                    "compile cache)")
-    ap.add_argument("--cooldown", type=float, default=15.0,
+                    "compile + AOT-executable cache)")
+    ap.add_argument("--cooldown", type=float, default=20.0,
                     help="minimum seconds between CLI processes: the "
                     "remote TPU tunnel blocks a client that starts before "
-                    "the previous one's session is torn down, and teardown "
-                    "time scales with how much the previous process "
-                    "compiled — the harness therefore waits "
-                    "max(cooldown, 0.3×previous wall time)")
+                    "the previous one's session is torn down")
+    ap.add_argument("--stall-backoff", type=float, default=75.0,
+                    help="seconds to wait after a stalled run (teardown "
+                    "wedges persist far beyond the normal cooldown)")
+    ap.add_argument("--stall-backend", type=float, default=5.0)
+    ap.add_argument("--stall-first", type=float, default=10.0)
+    ap.add_argument("--stall-wall-floor", type=float, default=40.0)
+    ap.add_argument("--agree", type=float, default=0.25,
+                    help="clean runs must be within this fraction of the "
+                    "best clean wall")
+    ap.add_argument("--max-attempts", type=int, default=12,
+                    help="total runs per config (incl. warmup + stalls)")
     args = ap.parse_args(argv)
 
     names = list(CONFIGS) if args.configs == "all" \
@@ -110,25 +188,23 @@ def main(argv=None) -> int:
         for name in names:
             dst = os.path.join(d, f"{name}.raw")
             cfg_args = [a.replace("{d}", d) for a in CONFIGS[name]]
-            for _ in range(args.warmup):
-                t, _ = run_once(src, dst, cfg_args)
-                time.sleep(max(args.cooldown, 0.3 * t))
-            times, phases = [], []
-            for _ in range(args.repeats):
-                t, ph = run_once(src, dst, cfg_args)
-                times.append(t)
-                phases.append(ph)
-                time.sleep(max(args.cooldown, 0.3 * t))
-            best = min(times)
-            print(json.dumps({
+            rec = collect(src, dst, cfg_args, args)
+            rec_out = {
                 "config": name,
-                "runs": [round(t, 3) for t in times],
-                "median_s": round(statistics.median(times), 3),
-                "best_msps_complex_e2e": round(complex_in / best / 1e6, 2),
-                "stream_s": [ph.get("stream_s") for ph in phases],
-                "first_output_s": [ph.get("first_output_s")
-                                   for ph in phases],
-            }), flush=True)
+                "certified": rec["certified"],
+                "runs": rec["runs"],
+                "median_s": rec["median_s"],
+                "best_msps_complex_e2e": round(
+                    complex_in / rec["best_s"] / 1e6, 2)
+                if rec["best_s"] else None,
+                "stream_s": rec["stream_s"],
+                "first_output_s": rec["first_output_s"],
+                "aot_hit": rec["aot_hit"],
+                "attempts": rec["attempts"],
+                "stalled_count": len(rec["stalled_runs"]),
+                "stalled_runs": rec["stalled_runs"],
+            }
+            print(json.dumps(rec_out), flush=True)
     return 0
 
 
