@@ -510,6 +510,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--matrix", action="store_true",
                     help="benchmark every hot config; write BENCH_MATRIX.json")
+    ap.add_argument("--rows", default="",
+                    help="comma list of matrix row names to run (default "
+                    "all); with --matrix, unlisted rows keep their values "
+                    "from the existing BENCH_MATRIX.json")
     args = ap.parse_args()
 
     # headline: long loops — short ones sit inside the tunnel's dispatch
@@ -528,10 +532,27 @@ def main():
         return
 
     results = [flagship]
+    keep_rows = set(args.rows.split(",")) if args.rows else None
+    prior = {}
+    if keep_rows:
+        try:
+            with open("BENCH_MATRIX.json") as f:
+                prior = {r["metric"]: r for r in json.load(f)}
+        except Exception:
+            pass
     memcpy_msps = None
     for name, build in MATRIX:
         if name == "nbfm_q0_fused_fast":
             continue  # already measured as the flagship
+        if keep_rows and name not in keep_rows:
+            old = prior.get(f"iq_throughput_{name}")
+            if old is not None:
+                results.append(old)
+                if name == "hbm_memcpy_floor" and "value" in old:
+                    memcpy_msps = old["value"]
+                with open("BENCH_MATRIX.json", "w") as f:
+                    json.dump(results, f, indent=1)
+            continue
         # stateful configs: steps are now ~100-250 µs, so SHORT loops sit
         # inside the tunnel's ~ms dispatch jitter and can read 2-4× high
         # or negative — use longer loops; only the slow f64/sharded rows
@@ -570,6 +591,11 @@ def main():
         ("e2e_stream_wbfm", dict(pipeline_factory=_wbfm_pipe, n_blocks=24)),
     ]
     for nm, kw in e2e_rows:
+        if keep_rows and nm not in keep_rows:
+            old = prior.get(f"iq_throughput_{nm}")
+            if old is not None:
+                results.append(old)
+            continue
         try:
             r = _measure_e2e(nm, **kw)
         except Exception as e:
@@ -578,10 +604,16 @@ def main():
         print(json.dumps(r), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(results, f, indent=1)
-    try:
-        r = _measure_e2e_bank()
-    except Exception as e:
-        r = {"metric": "iq_throughput_e2e_bank4_pfb", "error": repr(e)[:400]}
+    if keep_rows and "e2e_bank4_pfb" not in keep_rows:
+        old = prior.get("iq_throughput_e2e_bank4_pfb")
+        r = old if old is not None else {
+            "metric": "iq_throughput_e2e_bank4_pfb", "error": "skipped"}
+    else:
+        try:
+            r = _measure_e2e_bank()
+        except Exception as e:
+            r = {"metric": "iq_throughput_e2e_bank4_pfb",
+                 "error": repr(e)[:400]}
     results.append(r)
     print(json.dumps(r), flush=True)
     with open("BENCH_MATRIX.json", "w") as f:

@@ -162,25 +162,25 @@ class ChannelBankPipeline:
         self._build_audio_chain(dtype)
 
     def _use_fused_pfb(self) -> bool:
-        """Fused Pallas front (ops/pallas/fused_pfb.py) eligibility: the
-        2C == 128 lane packing (64-channel grid), lane-aligned block, f32,
-        TPU backend.  ~3.3x the XLA call_split front on v5e (228 vs 750 us
-        per 3.07 Ms block) and closer to the f64 oracle (98.8 vs 96.6 dB):
-        the branch filter runs exact-f32 on the VPU instead of 3-pass
-        bf16 folded einsums.  DEMODULATOR_TPU_NO_FUSED_PFB=1 disables."""
+        """Fused Pallas front (ops/pallas/fused_pfb.py) eligibility: a
+        2C | 128 lane packing (4-64 channel grids), lane-aligned block,
+        f32, TPU backend.  ~3.3x the XLA call_split front on v5e at
+        C = 64 (228 vs 750 us per 3.07 Ms block) and closer to the f64
+        oracle (98.8 vs 96.6 dB): the branch filter runs exact-f32 on
+        the VPU instead of 3-pass bf16 folded einsums.
+        DEMODULATOR_TPU_NO_FUSED_PFB=1 disables."""
         import os
         if getattr(self, "_fused_pfb_cached", None) is None:
             from ..ops.pallas.fused_pfb import pfb_tile_rows
             ok = (self.method == "pfb"
-                  and self.pfb.C == 64
-                  and (self.pfb.P * self.pfb.C) % 128 == 0
+                  and self.pfb.C in (4, 8, 16, 32, 64)
                   and self.block_complex % 128 == 0
                   and self.dtype == jnp.float32
                   and not os.environ.get("DEMODULATOR_TPU_NO_FUSED_PFB"))
             if ok:
                 G = self.block_complex // 128
                 tr = pfb_tile_rows(G)
-                hr = self.pfb.P * self.pfb.C // 128
+                hr = -(-self.pfb.P * self.pfb.C // 128)
                 ok = tr is not None and tr >= hr
             if ok:
                 import jax as _jax
@@ -194,7 +194,11 @@ class ChannelBankPipeline:
         pass), then channel select + the audio FIR in XLA."""
         from ..ops.pallas.fused_pfb import fused_pfb_demod
         d, nh = fused_pfb_demod(
-            u16, state.chan_hist, self.pfb._h_np, precise=False)
+            u16, state.chan_hist, self.pfb._h_np, C=self.pfb.C,
+            precise=False)
+        # rows hold 64/C consecutive time pairs (col u = j·C + k): the
+        # row-major reshape recovers the [M2, C] channel matrix
+        d = d.reshape(-1, self.pfb.C)
         d = jnp.take(d.T, self.pfb_rows, axis=0)            # [C, Tc/2]
         audio, audio_hist = self.audio(d, state.audio_hist)
         return ChannelBankState(state.phasor, nh, audio_hist), audio

@@ -19,26 +19,34 @@ tiny [TR,128]x[128,4C] dot, and HBM sees exactly one read of the raw
 bytes and one write of the demodulated rows (~12 MB per 3.07 Ms block vs
 >500 MB of einsum intermediates).
 
-Lane layout (derivation): pack channel-sample pairs per 128-lane row —
-lane L of output row r holds z[m, c] with
+Lane layout (derivation, general C with 2C | 128): pack 2K = 128/C
+decimated output samples per 128-lane row — lane L of output row r holds
+z[m, c] with
 
-    m = 2r + (L >= 64),   c = 63 - (L mod 64)       (C = 64)
+    m = (128/C)·r + L//C,   c = C-1 - (L mod C),
 
 so the branch-filter read index collapses to
 
-    z_row[r, L] = sum_p h2[p, L] * s[128 r + L - 63 - 64 p],
+    z_row[r, L] = sum_p h2[p, L] * s[128 r + L - (p·C + C-1)],
 
-i.e. every tap window is ONE lane-rotated copy of the conditioned stream:
-rotation 63 for even p (row shift p/2) and 127 for odd p (row shift
-(p-1)/2).  The commutator flip and the DFT's channel indexing fold into
-the host constants h2 [P, 128] and W4 [128, 4C] — nothing is permuted on
-device.  Even output samples land in lanes 0-63, odd in 64-127, which is
-exactly the parity split the discriminator consumes (ops/demod
-.fm_demod_split).
+i.e. every tap window is ONE lane-rotated copy of the conditioned
+stream: rotation (p·C + C-1) mod 128, row shift (p·C + C-1) // 128 —
+two rotations at C = 64 (63 / 127), min(P, 128/C) distinct rotations
+for smaller grids.  The commutator flip and the DFT's channel indexing
+fold into the host constants h2 [P, 128] and W4 [128, 256] — nothing is
+permuted on device.  The DFT output keeps a FIXED 256-column shape for
+every C (4 parity/quadrature blocks x 64 = K·C pair-channel columns u =
+j·C + k): consecutive m land in consecutive L//C lane groups, so even
+output samples sit in even groups and the K (even, odd) pairs per row
+are exactly what the discriminator consumes lane-parallel.
 
-History: the conditioned trailing P·C samples, [2, P·C/128, 128] planes —
-the same values PolyphaseChannelizer keeps (state stays interchangeable
-with the XLA front; zeros = silent stream before t = 0).
+History: the kernel carries the trailing HC·128 conditioned samples
+(HC = ceil(P·C/128)) as [2, HC, 128] planes.  The wrapper accepts and
+returns the channelizer's [2, P·C] convention (state stays
+interchangeable with the XLA front): when P·C is not a multiple of 128
+the leading pad samples are zeros, which is safe — the deepest real-tap
+read reaches back only P·C - 1 samples, so pad lanes are never touched
+by a nonzero tap.
 """
 from __future__ import annotations
 
@@ -53,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_nbfm import _atan2_fast_recip
 
 LANES = 128
-C = 64   # channel count the 2C == 128 lane packing requires
+OUT = 64  # fixed output width: K·C = (128/2C)·C = 64 pair-channels/row
 
 
 def _shift_right(e, a: int):
@@ -80,7 +88,7 @@ def _unpack_shift(u):
 
 
 def _pfb_kernel(x_ref, xp_ref, hist_ref, h2_ref, w4_ref, d_ref, nh_ref, *,
-                P, TR, HR, n_tiles, precise):
+                C, P, TR, HR, n_tiles, precise):
     i = pl.program_id(0)
     f32 = jnp.float32
     xi, xq = _unpack_shift(x_ref[...])                     # [TR, 128]
@@ -94,27 +102,30 @@ def _pfb_kernel(x_ref, xp_ref, hist_ref, h2_ref, w4_ref, d_ref, nh_ref, *,
     ei = jnp.concatenate([prev_i, xi], axis=0)             # [TR+HR, 128]
     eq = jnp.concatenate([prev_q, xq], axis=0)
 
-    # the two delayed copies every tap window is a row-slice of
-    e63i, e63q = _shift_right(ei, 63), _shift_right(eq, 63)
-    e127i, e127q = _shift_right(ei, 127), _shift_right(eq, 127)
+    # one delayed copy per DISTINCT lane rotation (p·C + C−1) mod 128:
+    # 2 at C = 64, min(P, 128/C) for smaller grids — each a cheap
+    # lane-roll + row-borrow of the conditioned stream
+    shifted: dict[int, tuple] = {}
+    for p in range(P):
+        rem = (p * C + C - 1) % LANES
+        if rem not in shifted:
+            shifted[rem] = (_shift_right(ei, rem), _shift_right(eq, rem))
 
     h2 = h2_ref[...]                                       # [P, 128]
     zi = zq = None
     for p in range(P):
+        d_p = p * C + C - 1
+        e_i, e_q = shifted[d_p % LANES]
+        r0 = HR - d_p // LANES
         hrow = h2[p:p + 1]                                 # [1, 128]
-        if p % 2 == 0:
-            r0 = HR - p // 2
-            si, sq = e63i[r0: r0 + TR], e63q[r0: r0 + TR]
-        else:
-            r0 = HR - (p - 1) // 2
-            si, sq = e127i[r0: r0 + TR], e127q[r0: r0 + TR]
+        si, sq = e_i[r0: r0 + TR], e_q[r0: r0 + TR]
         zi = hrow * si if zi is None else zi + hrow * si
         zq = hrow * sq if zq is None else zq + hrow * sq
 
     # DFT dot at 3-pass bf16 (== Precision.HIGH, which Mosaic's
     # dot_general doesn't take directly): operands split hi+lo, the
     # ~2^-34 lo·lo term dropped — ~1e-5 rel, far beyond the 60 dB bar
-    w4c = w4_ref[...]                                      # [128, 4C]
+    w4c = w4_ref[...]                                      # [128, 4·OUT]
     bf16 = jnp.bfloat16
     wh = w4c.astype(bf16)
     wl = (w4c - wh.astype(f32)).astype(bf16)
@@ -128,12 +139,13 @@ def _pfb_kernel(x_ref, xp_ref, hist_ref, h2_ref, w4_ref, d_ref, nh_ref, *,
         acc += jax.lax.dot_general(zh, wl, dn, preferred_element_type=f32)
         return acc
 
-    z4i = dot3(zi)                                         # [TR, 4C]
+    z4i = dot3(zi)                                         # [TR, 4·OUT]
     z4q = dot3(zq)
-    yer = z4i[:, 0:C] - z4q[:, C:2 * C]
-    yei = z4i[:, C:2 * C] + z4q[:, 0:C]
-    yor = z4i[:, 2 * C:3 * C] - z4q[:, 3 * C:4 * C]
-    yoi = z4i[:, 3 * C:4 * C] + z4q[:, 2 * C:3 * C]
+    B = OUT
+    yer = z4i[:, 0:B] - z4q[:, B:2 * B]
+    yei = z4i[:, B:2 * B] + z4q[:, 0:B]
+    yor = z4i[:, 2 * B:3 * B] - z4q[:, 3 * B:4 * B]
+    yoi = z4i[:, 3 * B:4 * B] + z4q[:, 2 * B:3 * B]
     zr = yer * yor + yei * yoi
     zj = yei * yor - yer * yoi
     d = _atan2_fast_recip(zj, zr, precise)
@@ -145,22 +157,30 @@ def _pfb_kernel(x_ref, xp_ref, hist_ref, h2_ref, w4_ref, d_ref, nh_ref, *,
         nh_ref[1] = xq[TR - HR:]
 
 
-def _host_consts(h_np: np.ndarray):
-    """(h2 [P, 128], w4 [128, 4C]) with the lane mapping m = 2r + (L>=64),
-    c = 63 - (L mod 64) folded in (host float64 → float32)."""
+def _host_consts(h_np: np.ndarray, C: int):
+    """(h2 [P, 128], w4 [128, 4·OUT], P) with the lane mapping
+    m = (128/C)·r + L//C, c = C-1 - (L mod C) folded in (host float64 →
+    float32).  w4 is block-diagonal over the K = 64/C pair groups: lane L
+    (pair j = L // 2C, parity (L//C) % 2) contributes its DFT phase to
+    pair-channel columns u = j·C + k within the four parity/quadrature
+    64-wide blocks."""
+    assert C in (4, 8, 16, 32, 64) and h_np.size % C == 0, (C, h_np.size)
     P = h_np.size // C
     h = np.asarray(h_np, np.float64).reshape(P, C)
     L = np.arange(LANES)
-    cc = 63 - (L % C)                                  # lane → branch c
+    cc = C - 1 - (L % C)                               # lane → branch c
     h2 = h[:, cc].astype(np.float32)                   # [P, 128]
+    jj = L // (2 * C)                                  # lane → pair group
+    odd = (L // C) % 2 == 1                            # lane → m parity
+    even = ~odd
     k = np.arange(C)
     theta = 2.0 * np.pi * ((k[None, :] * cc[:, None]) % C) / C
-    w4 = np.zeros((LANES, 4 * C))
-    even, odd = L < C, L >= C
-    w4[even, 0:C] = np.cos(theta[even])
-    w4[even, C:2 * C] = np.sin(theta[even])
-    w4[odd, 2 * C:3 * C] = np.cos(theta[odd])
-    w4[odd, 3 * C:4 * C] = np.sin(theta[odd])
+    w4 = np.zeros((LANES, 4 * OUT))
+    cols = jj[:, None] * C + k[None, :]                # [128, C] u-index
+    rows = np.broadcast_to(L[:, None], cols.shape)
+    for par, blk_c, blk_s in ((even, 0, 1), (odd, 2, 3)):
+        w4[rows[par], blk_c * OUT + cols[par]] = np.cos(theta[par])
+        w4[rows[par], blk_s * OUT + cols[par]] = np.sin(theta[par])
     return h2, w4.astype(np.float32), P
 
 
@@ -174,34 +194,43 @@ def pfb_tile_rows(G: int, max_tr: int = 256) -> int | None:
 
 
 def fused_pfb_demod(x_u16: jax.Array, hist: jax.Array, h_np: np.ndarray,
-                    precise: bool = False, interpret: bool = False):
+                    C: int = 64, precise: bool = False,
+                    interpret: bool = False):
     """x_u16: uint16 [T] (one word per complex sample, T % 128 == 0);
     hist: f32 [2, P·C] conditioned trailing samples (the channelizer's
-    state convention); h_np: host prototype, length P·C.
+    state convention); h_np: host prototype, length P·C; C: channel
+    count (4/8/16/32/64 — 2C must divide the 128-lane row).
 
-    → (d [T/128, C] f32 demodulated channel rows — row r holds channel
-    outputs for sample-pair (2r, 2r+1) — and new_hist [2, P·C]).
+    → (d [T/128, 64] f32 demodulated pair-channel rows — column
+    u = j·C + k of row r holds channel k's output for time pair
+    m2 = (64/C)·r + j, so ``d.reshape(-1, C)`` is the [M2, C] channel
+    matrix — and new_hist [2, P·C]).
 
     Numerics: branch filter exact f32 (VPU), DFT at Precision.HIGH,
     discriminator = the --fast-atan2 polynomial (``precise=True`` swaps
     in the ~1-ULP 9-term poly + exact division).  Agrees with the XLA
     ``call_split`` front to fp tolerance (different summation order).
     """
-    h2, w4, P = _host_consts(h_np)
+    h2, w4, P = _host_consts(h_np, C)
     T = x_u16.shape[-1]
     assert T % LANES == 0, T
     G = T // LANES
-    HR = P * C // LANES                                # history rows
-    assert P * C % LANES == 0, (P, C)
+    HR = -(-P * C // LANES)                 # history rows (ceil: HC)
+    pad = HR * LANES - P * C                # zero-lead when PC % 128 != 0
     TR = pfb_tile_rows(G)
     assert TR is not None and TR >= HR, (G, TR, HR)
     n_tiles = G // TR
     zero = np.int32(0)
     x2 = x_u16.reshape(G, LANES)
+    if pad:
+        # leading pad lanes are never read by a nonzero tap (deepest real
+        # reach is P·C − 1 samples); zeros keep the state convention [2, PC]
+        hist = jnp.concatenate(
+            [jnp.zeros((2, pad), hist.dtype), hist], axis=-1)
     hist3 = hist.reshape(2, HR, LANES)
 
     d, nh = pl.pallas_call(
-        functools.partial(_pfb_kernel, P=P, TR=TR, HR=HR,
+        functools.partial(_pfb_kernel, C=C, P=P, TR=TR, HR=HR,
                           n_tiles=n_tiles, precise=precise),
         grid=(n_tiles,),
         in_specs=[
@@ -216,19 +245,19 @@ def fused_pfb_demod(x_u16: jax.Array, hist: jax.Array, h_np: np.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h2.shape[0], LANES), lambda i: (zero, zero),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, 4 * C), lambda i: (zero, zero),
+            pl.BlockSpec((LANES, 4 * OUT), lambda i: (zero, zero),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TR, C), lambda i: (i, zero),
+            pl.BlockSpec((TR, OUT), lambda i: (i, zero),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, HR, LANES), lambda i: (zero, zero, zero),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, C), jnp.float32),
+            jax.ShapeDtypeStruct((G, OUT), jnp.float32),
             jax.ShapeDtypeStruct((2, HR, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(x2, x2, hist3, jnp.asarray(h2), jnp.asarray(w4))
-    return d, nh.reshape(2, P * C)
+    return d, nh.reshape(2, HR * LANES)[:, pad:]

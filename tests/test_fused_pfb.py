@@ -26,11 +26,14 @@ def _xla_front(pfb, u16, hist):
     return demod_ops.fm_demod_split(yer, yei, yor, yoi, fast=True), nh
 
 
-def test_kernel_matches_call_split_streaming():
+@pytest.mark.parametrize("C", [4, 8, 16, 64])
+def test_kernel_matches_call_split_streaming(C):
     """Two streamed blocks: demod rows agree to fp tolerance, the carried
-    conditioned history exactly."""
+    conditioned history exactly.  C = 8 exercises the P·C % 128 != 0
+    zero-lead pad and the multi-rotation window path; 64 the original
+    two-rotation packing."""
     rng = np.random.default_rng(3)
-    pfb = PolyphaseChannelizer(64)
+    pfb = PolyphaseChannelizer(C)
     T = 128 * 48
     hist_x = pfb.init_hist()
     hist_k = jnp.zeros((2, pfb.hist_len), jnp.float32)
@@ -38,7 +41,8 @@ def test_kernel_matches_call_split_streaming():
         u16 = rng.integers(0, 1 << 16, T, dtype=np.uint16)
         d_ref, hist_x = _xla_front(pfb, u16, hist_x)
         d, hist_k = fused_pfb_demod(jnp.asarray(u16), hist_k, pfb._h_np,
-                                    interpret=True)
+                                    C=C, interpret=True)
+        d = d.reshape(-1, C)
         # angle-wrapped comparison: near-cancellation conj-products (and
         # true angles at ±π) amplify last-ulp DFT rounding differences —
         # a layout bug would be O(1) on most samples, not <0.01 rad on a
@@ -60,9 +64,11 @@ def test_tile_rows():
     assert pfb_tile_rows(7) is None
 
 
-def test_pipeline_fused_path_matches_unfused(monkeypatch):
+@pytest.mark.parametrize("nch", [8, 64])
+def test_pipeline_fused_path_matches_unfused(monkeypatch, nch):
     """ChannelBankPipeline with the fused front forced (interpret mode)
-    equals the XLA path on an FM fixture."""
+    equals the XLA path on an FM fixture — for both the original 64-grid
+    and an 8-channel grid (multi-pair rows + padded history)."""
     from demodulator_tpu.models.channel_bank import (ChannelBankConfig,
                                                      ChannelBankPipeline)
     from demodulator_tpu.ops.pallas import fused_pfb as fp
@@ -71,16 +77,18 @@ def test_pipeline_fused_path_matches_unfused(monkeypatch):
     orig = fp.fused_pfb_demod
     monkeypatch.setattr(
         fp, "fused_pfb_demod",
-        lambda x, h, p, precise=False, interpret=False:
-        orig(x, h, p, precise=precise, interpret=True))
+        lambda x, h, p, C=64, precise=False, interpret=False:
+        orig(x, h, p, C=C, precise=precise, interpret=True))
 
-    fs = 64 * 192000.0
-    offs = tuple((c - 32) * 192000.0 for c in (30, 31, 32, 33))
+    fs = nch * 192000.0
+    mid = nch // 2
+    chans = (mid - 2, mid - 1, mid, mid + 1)
+    offs = tuple((c - mid) * 192000.0 for c in chans)
     cfg = ChannelBankConfig(sample_rate=fs, channel_rate=192000.0,
                             offsets_hz=offs, lowpass_out=12500.0,
-                            block_seconds=0.0005)
+                            block_seconds=0.064 / nch)
     tones = [1000.0 * (i + 1) for i in range(len(offs))]
-    raw = synth_bank(fs, offs, tones, 3 * 6144)
+    raw = synth_bank(fs, offs, tones, 3 * 12288)
 
     pipe_f = ChannelBankPipeline(cfg)
     assert pipe_f.method == "pfb"
