@@ -70,13 +70,21 @@ CONFIGS = {
 }
 
 
-def run_once(src: str, dst: str, args: list[str]) -> tuple[float, dict]:
-    """One timed CLI run → (wall seconds, phase dict)."""
+def run_once(src: str, dst: str, args: list[str],
+             timeout: float | None = None) -> tuple[float, dict]:
+    """One timed CLI run → (wall seconds, phase dict).  A run exceeding
+    ``timeout`` (a tunnel wedge: clean walls are seconds) is killed and
+    returned as (wall, {"timed_out": True}) — the caller classifies it
+    stalled without paying the wedge's full 60-1600 s duration."""
     env = dict(os.environ, DEMODULATOR_TPU_PHASES="1")
     t0 = time.perf_counter()
-    r = subprocess.run(
-        [sys.executable, "-m", "demodulator_tpu", "-i", src, "-o", dst,
-         *args], cwd=REPO, capture_output=True, env=env)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "demodulator_tpu", "-i", src, "-o", dst,
+             *args], cwd=REPO, capture_output=True, env=env,
+            timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return time.perf_counter() - t0, {"timed_out": True}
     dt = time.perf_counter() - t0
     if r.returncode != 0:
         raise RuntimeError(r.stderr.decode()[-2000:])
@@ -90,6 +98,8 @@ def run_once(src: str, dst: str, args: list[str]) -> tuple[float, dict]:
 def is_stalled(wall: float, ph: dict, clean_walls: list[float],
                a) -> str | None:
     """Classify a run; returns the stall reason or None (clean)."""
+    if ph.get("timed_out"):
+        return f"timed_out {wall:.1f}s"
     if ph.get("backend_init_s", 0.0) > a.stall_backend:
         return f"backend_init {ph['backend_init_s']:.1f}s"
     if ph.get("first_output_s", 0.0) > a.stall_first:
@@ -108,12 +118,13 @@ def collect(src: str, dst: str, cfg_args: list[str], a) -> dict:
     clean: list[tuple[float, dict]] = []
     attempts = 0
     # cache-priming warmups (never recorded; a stalled warmup still primes)
+    warm_to = a.run_timeout * 4 if a.run_timeout else None
     for _ in range(a.warmup):
-        t, ph = run_once(src, dst, cfg_args)
+        t, ph = run_once(src, dst, cfg_args, timeout=warm_to)
         attempts += 1
         time.sleep(max(a.cooldown, 0.3 * t))
     while attempts < a.max_attempts:
-        t, ph = run_once(src, dst, cfg_args)
+        t, ph = run_once(src, dst, cfg_args, timeout=a.run_timeout)
         attempts += 1
         reason = is_stalled(t, ph, [w for w, _ in clean], a)
         if reason:
@@ -165,6 +176,11 @@ def main(argv=None) -> int:
     ap.add_argument("--stall-backoff", type=float, default=75.0,
                     help="seconds to wait after a stalled run (teardown "
                     "wedges persist far beyond the normal cooldown)")
+    ap.add_argument("--run-timeout", type=float, default=None,
+                    help="kill a timed run after this many seconds and "
+                    "count it stalled (clean walls are seconds; wedged "
+                    "runs otherwise hold the collection 60-1600 s). "
+                    "Warmups get 4x. Default: no timeout.")
     ap.add_argument("--stall-backend", type=float, default=5.0)
     ap.add_argument("--stall-first", type=float, default=10.0)
     ap.add_argument("--stall-wall-floor", type=float, default=40.0)
